@@ -1,0 +1,94 @@
+"""Deterministic synthetic tokens table (FIXTURES.md F-1).
+
+Canonical input shape (BASELINE.json input_hint):
+    doc_id: string, tokens: array<int32>, n_tok: int32, source: string
+
+Generation is *per-row deterministic* (seed derived from the row index
+alone), so any partitioning / parallelism / scale produces the same
+rows — the property that lets bench runs at local[8] and local[32]
+consume identical data, and lets a 1000-executor cluster regenerate any
+split independently.
+
+A configurable fraction of series starts with a run of ``-1`` sentinel
+values, mimicking the reference's Facebook "not published yet"
+placeholders (visible in data/facebook_palestine.csv row 2), which the
+reference leaves untouched and our gap-fill/LOCF path repairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+SOURCES = ["sales", "palestine", "microsoft", "economy"]
+# Zipf-ish skew on purpose: one hot source dominates, exercising the
+# salted repartitioning path (SURVEY.md §7.4 risk 4).
+SOURCE_WEIGHTS = np.array([0.55, 0.25, 0.15, 0.05])
+
+TOKENS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("tokens", T.ArrayType(T.IntegerType(), True), False),
+    T.StructField("n_tok", T.IntegerType(), False),
+    T.StructField("source", T.StringType(), False),
+])
+
+
+def _gen_rows(ids: np.ndarray, n_tok: int, seed: int, gap_fraction: float) -> pd.DataFrame:
+    """Generation for a batch of row indices: per-row seeded draws, but
+    the AR(1) walk itself is vectorized across the batch (loop over
+    time steps, not rows)."""
+    rows = len(ids)
+    steps = np.empty((rows, n_tok), dtype=np.int64)
+    starts = np.empty(rows, dtype=np.int64)
+    gap_u = np.empty(rows)
+    gap_len = np.empty(rows, dtype=np.int64)
+    src_u = np.empty(rows)
+    for r, i in enumerate(ids):
+        rng = np.random.default_rng(seed * 1_000_000_007 + int(i))
+        steps[r] = rng.integers(-3, 4, size=n_tok)
+        starts[r] = rng.integers(0, 100)
+        gap_u[r] = rng.random()
+        gap_len[r] = rng.integers(1, max(2, n_tok // 4))
+        src_u[r] = rng.random()
+
+    vals = np.empty((rows, n_tok), dtype=np.int64)
+    v = starts
+    for j in range(n_tok):
+        v = np.maximum(0, v + steps[:, j])
+        vals[:, j] = v
+
+    has_gap = gap_u < gap_fraction
+    col = np.arange(n_tok)[None, :]
+    vals = np.where(has_gap[:, None] & (col < gap_len[:, None]), -1, vals)
+
+    cum = np.cumsum(SOURCE_WEIGHTS)
+    src_idx = np.searchsorted(cum, src_u)
+    vals32 = vals.astype(np.int32)
+    return pd.DataFrame({
+        "doc_id": [f"d{int(i):08d}" for i in ids],
+        "tokens": list(vals32),
+        "n_tok": np.full(rows, n_tok, dtype=np.int32),
+        "source": [SOURCES[i] for i in src_idx],
+    })
+
+
+def tokens_pdf(n: int, n_tok: int = 144, seed: int = 42,
+               gap_fraction: float = 0.15) -> pd.DataFrame:
+    """Driver-side generation (tests, small fixtures)."""
+    return _gen_rows(np.arange(n), n_tok, seed, gap_fraction)
+
+
+def tokens_df(spark: SparkSession, n: int, n_tok: int = 144, seed: int = 42,
+              gap_fraction: float = 0.15, partitions: int | None = None) -> DataFrame:
+    """Distributed generation via mapInPandas over spark.range — scales
+    to any N because each task generates only its own id range."""
+    if partitions is None:
+        partitions = max(8, n // 25_000)
+
+    def gen(batches):
+        for pdf in batches:
+            yield _gen_rows(pdf["id"].to_numpy(), n_tok, seed, gap_fraction)
+
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(gen, TOKENS_SCHEMA)

@@ -1,0 +1,333 @@
+"""Rollup cascade + gap-fill + retention (SURVEY.md A10/W1/J4).
+
+The reference's data model has time implicit in column position
+(weekly / 20-minute grids, reference includes/io.py:114-134) and does
+NOT handle its ``-1`` "not published yet" placeholders. This module is
+the principled Spark-native replacement: position -> timestamp, LOCF
+gap-fill, and a 1m/1h/1d continuous-aggregate cascade where every
+aggregate is re-aggregable (count/sum/min/max/first/last), so each
+tier derives from the previous one, never from raw data.
+
+Scale design (the part that matters at 10^12 sequences):
+
+- ONE shuffle for the whole cascade: ``repartition(source, doc_id)``
+  up front; every later groupBy key set (source, doc_id, bucket) is a
+  superset of the partitioning, and the LOCF window partitions by the
+  same keys, so Catalyst inserts no further Exchange (verified by
+  tests/test_rollup.py::test_single_shuffle_plan).
+- The tokens fast path never explodes to long form at all: one
+  ``mapInPandas`` pass reshapes each Arrow batch in NumPy and emits
+  per-tier buckets directly — zero shuffles, linear scan, exact
+  integer arithmetic (token-array equality is preserved end-to-end).
+- first/last use min_by/max_by on the bucket/position, not
+  order-dependent ``first()``, so results are partition-layout
+  independent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EPOCH = "2024-01-01 00:00:00"
+EPOCH_SECONDS = 1704067200  # 2024-01-01T00:00:00Z
+
+#: minutes per bucket for each retention tier
+TIERS = {"1m": 1, "1h": 60, "1d": 1440}
+
+#: default retention policy (buckets to keep per tier; None = forever)
+DEFAULT_RETENTION = {"1m": 7 * 1440, "1h": 90 * 24, "1d": None}
+
+
+# ---------------------------------------------------------------------------
+# long form + gap-fill
+# ---------------------------------------------------------------------------
+
+def tokens_long(tokens_df: DataFrame, sentinel: int = -1) -> DataFrame:
+    """tokens table -> long form (source, doc_id, pos, ts, value).
+
+    ``sentinel`` values become NULL (the reference leaves them in the
+    data untouched; we surface them as gaps). ``ts`` maps position ->
+    EPOCH + pos minutes.
+    """
+    return (
+        tokens_df
+        .select("source", "doc_id", F.posexplode("tokens").alias("pos", "raw"))
+        .withColumn("value", F.when(F.col("raw") == sentinel, None)
+                    .otherwise(F.col("raw")).cast("long"))
+        .withColumn("ts", F.timestamp_seconds(F.lit(EPOCH_SECONDS) + F.col("pos") * 60))
+        .drop("raw")
+    )
+
+
+def gapfill_locf(long_df: DataFrame,
+                 series_cols: tuple[str, ...] = ("source", "doc_id"),
+                 order_col: str = "pos",
+                 value_col: str = "value") -> DataFrame:
+    """Last-observation-carried-forward over each series (W1).
+
+    Leading gaps (no prior observation) stay NULL. Adds
+    ``filled`` = true where the value was carried rather than observed.
+    The window partitions by the series keys — with the cascade's
+    upfront repartition this needs no extra shuffle.
+    """
+    w = (Window.partitionBy(*series_cols).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        long_df
+        .withColumn("_locf", F.last(value_col, ignorenulls=True).over(w))
+        .withColumn("filled", F.col(value_col).isNull() & F.col("_locf").isNotNull())
+        .withColumn(value_col, F.col("_locf"))
+        .drop("_locf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cascade (long-form, general path)
+# ---------------------------------------------------------------------------
+
+_AGGS = ["cnt", "sum", "min", "max", "first", "last", "n_filled"]
+
+
+def rollup_base(long_df: DataFrame, tier: str = "1m",
+                series_cols: tuple[str, ...] = ("source", "doc_id")) -> DataFrame:
+    """First-tier aggregation from (gap-filled) long form."""
+    mins = TIERS[tier]
+    bucket = F.timestamp_seconds(
+        F.lit(EPOCH_SECONDS) + (F.col("pos") / F.lit(mins)).cast("long") * mins * 60)
+    return (
+        long_df
+        .groupBy(*series_cols, bucket.alias("bucket"))
+        .agg(
+            F.count("value").alias("cnt"),
+            F.sum("value").alias("sum"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.min_by("value", "pos").alias("first"),
+            F.max_by("value", "pos").alias("last"),
+            F.sum(F.col("filled").cast("long")).alias("n_filled"),
+        )
+        # buckets before a series' first observation have no value at
+        # all (leading gaps are not carried) — drop them
+        .filter(F.col("cnt") > 0)
+    )
+
+
+def rollup_next(tier_df: DataFrame, from_tier: str, to_tier: str,
+                series_cols: tuple[str, ...] = ("source", "doc_id")) -> DataFrame:
+    """Re-aggregate one tier into a coarser one (continuous-aggregate
+    cascade; every column is decomposable so this is exact)."""
+    mins = TIERS[to_tier]
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("bucket") / F.lit(mins * 60)).cast("long") * mins * 60)
+    return (
+        tier_df
+        .groupBy(*series_cols, bucket.alias("bucket"))
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.min_by("first", "bucket").alias("first"),
+            F.max_by("last", "bucket").alias("last"),
+            F.sum("n_filled").alias("n_filled"),
+        )
+    )
+
+
+def cascade(tokens_df: DataFrame, tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+            partitions: int | None = None) -> dict[str, DataFrame]:
+    """tokens table -> {tier: rollup DataFrame}, single shuffle total.
+
+    The upfront repartition on (source, doc_id) co-locates each series;
+    the LOCF window and every tier groupBy then reuse that exchange.
+    """
+    if partitions is not None:
+        tokens_df = tokens_df.repartition(partitions, "source", "doc_id")
+    else:
+        tokens_df = tokens_df.repartition("source", "doc_id")
+    long_df = gapfill_locf(tokens_long(tokens_df))
+    out: dict[str, DataFrame] = {}
+    prev_tier: str | None = None
+    for tier in tiers:
+        if prev_tier is None:
+            out[tier] = rollup_base(long_df, tier)
+        else:
+            out[tier] = rollup_next(out[prev_tier], prev_tier, tier)
+        prev_tier = tier
+    return out
+
+
+# ---------------------------------------------------------------------------
+# tokens fast path: zero-shuffle mapInPandas cascade
+# ---------------------------------------------------------------------------
+
+_FAST_SCHEMA = T.StructType([
+    T.StructField("tier", T.StringType(), False),
+    T.StructField("source", T.StringType(), False),
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("bucket", T.LongType(), False),  # epoch seconds
+    T.StructField("cnt", T.LongType(), False),
+    T.StructField("sum", T.LongType(), True),
+    T.StructField("min", T.LongType(), True),
+    T.StructField("max", T.LongType(), True),
+    T.StructField("first", T.LongType(), True),
+    T.StructField("last", T.LongType(), True),
+    T.StructField("n_filled", T.LongType(), False),
+])
+
+
+def _locf_2d(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized row-wise LOCF. -1 is the gap sentinel. Returns
+    (filled float matrix with NaN for leading gaps, filled-mask)."""
+    x = vals.astype(np.float64)
+    miss = vals == -1
+    x[miss] = np.nan
+    idx = np.where(~miss, np.arange(x.shape[1])[None, :], 0)
+    np.maximum.accumulate(idx, axis=1, out=idx)
+    carried = x[np.arange(x.shape[0])[:, None], idx]
+    # rows whose first value was a gap: positions before the first
+    # observation keep NaN
+    lead = miss & (np.cumsum(~miss, axis=1) == 0)
+    carried[lead] = np.nan
+    filled_mask = miss & ~lead
+    return carried, filled_mask
+
+
+def _tier_frames(pdf: pd.DataFrame, tiers: tuple[str, ...]) -> list[pd.DataFrame]:
+    out = []
+    for n_tok, grp in pdf.groupby("n_tok"):
+        vals = np.stack(grp["tokens"].to_numpy())
+        filled, fmask = _locf_2d(vals)
+        for tier in tiers:
+            mins = TIERS[tier]
+            nb = int(np.ceil(vals.shape[1] / mins))
+            pad = nb * mins - vals.shape[1]
+            fv = np.pad(filled, ((0, 0), (0, pad)), constant_values=np.nan)
+            fm = np.pad(fmask, ((0, 0), (0, pad)), constant_values=False)
+            r = fv.reshape(len(grp), nb, mins)
+            rm = fm.reshape(len(grp), nb, mins)
+            obs = ~np.isnan(r)
+            cnt = obs.sum(axis=2)
+            with np.errstate(all="ignore"):
+                s = np.nansum(np.where(obs, r, 0), axis=2)
+                mn = np.nanmin(np.where(obs, r, np.inf), axis=2)
+                mx = np.nanmax(np.where(obs, r, -np.inf), axis=2)
+            first_idx = np.argmax(obs, axis=2)
+            last_idx = mins - 1 - np.argmax(obs[:, :, ::-1], axis=2)
+            ri = np.arange(len(grp))[:, None]
+            bi = np.arange(nb)[None, :]
+            first = r[ri, bi, first_idx]
+            last = r[ri, bi, last_idx]
+            nfil = rm.sum(axis=2)
+
+            keep = cnt > 0
+            rr, bb = np.nonzero(keep)
+            out.append(pd.DataFrame({
+                "tier": tier,
+                "source": grp["source"].to_numpy()[rr],
+                "doc_id": grp["doc_id"].to_numpy()[rr],
+                "bucket": EPOCH_SECONDS + bb * mins * 60,
+                "cnt": cnt[rr, bb].astype(np.int64),
+                "sum": s[rr, bb].astype(np.int64),
+                "min": mn[rr, bb].astype(np.int64),
+                "max": mx[rr, bb].astype(np.int64),
+                "first": first[rr, bb].astype(np.int64),
+                "last": last[rr, bb].astype(np.int64),
+                "n_filled": nfil[rr, bb].astype(np.int64),
+            }))
+    return out
+
+
+def cascade_fast(tokens_df: DataFrame,
+                 tiers: tuple[str, ...] = ("1m", "1h", "1d")) -> DataFrame:
+    """All tiers in ONE narrow mapInPandas pass (no shuffle at all):
+    each input row carries its whole series, so every bucket of every
+    tier is computable locally. Output: union of tiers, tagged by
+    ``tier``; bucket as epoch seconds. Integer-exact."""
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf):
+                for frame in _tier_frames(pdf, tiers):
+                    yield frame
+
+    return tokens_df.mapInPandas(run, _FAST_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# retention (downsample-and-expire)
+# ---------------------------------------------------------------------------
+
+def apply_retention(tier_df: DataFrame, tier: str, now_bucket_seconds: int,
+                    policy: dict[str, int | None] | None = None) -> DataFrame:
+    """Drop buckets older than the tier's retention horizon. ``now``
+    is an explicit bucket timestamp (epoch seconds) so runs are
+    deterministic and resumable."""
+    policy = policy if policy is not None else DEFAULT_RETENTION
+    keep = policy.get(tier)
+    if keep is None:
+        return tier_df
+    mins = TIERS[tier]
+    horizon = now_bucket_seconds - keep * mins * 60
+    bucket = tier_df.schema["bucket"].dataType
+    if isinstance(bucket, T.LongType):
+        return tier_df.filter(F.col("bucket") >= horizon)
+    return tier_df.filter(F.unix_timestamp("bucket") >= horizon)
+
+
+# ---------------------------------------------------------------------------
+# events path (irregular timestamps): spine gap-fill + rollup
+# ---------------------------------------------------------------------------
+
+def events_rollup(events_df: DataFrame, tier_seconds: int,
+                  series_col: str = "event_type",
+                  ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """General rollup over an irregular event stream: tumbling buckets
+    of ``tier_seconds`` per series. Buckets as epoch seconds (oracle
+    tz-safe)."""
+    bucket = (F.unix_timestamp(ts_col) / tier_seconds).cast("long") * tier_seconds
+    return (
+        events_df
+        .groupBy(F.col(series_col).alias("series"), bucket.alias("bucket"))
+        .agg(
+            F.count(value_col).alias("cnt"),
+            F.sum(value_col).alias("sum"),
+            F.min(value_col).alias("min"),
+            F.max(value_col).alias("max"),
+        )
+    )
+
+
+def events_gapfill(events_df: DataFrame, tier_seconds: int,
+                   series_col: str = "event_type",
+                   ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """Dense per-series bucket spine via sequence+explode (J4), left
+    join of actual buckets, then LOCF (W1). ``filled`` marks carried
+    buckets. One value per (series, bucket): the bucket avg."""
+    bucket = (F.unix_timestamp(ts_col) / tier_seconds).cast("long") * tier_seconds
+    actual = (
+        events_df
+        .groupBy(F.col(series_col).alias("series"), bucket.alias("bucket"))
+        .agg(F.avg(value_col).alias("value"))
+    )
+    bounds = events_df.agg(
+        (F.floor(F.min(F.unix_timestamp(ts_col)) / tier_seconds) * tier_seconds).alias("lo"),
+        (F.floor(F.max(F.unix_timestamp(ts_col)) / tier_seconds) * tier_seconds).alias("hi"),
+    )
+    spine = (
+        events_df.select(F.col(series_col).alias("series")).distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("series", F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(tier_seconds))).alias("bucket"))
+    )
+    w = (Window.partitionBy("series").orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        spine.join(actual, ["series", "bucket"], "left")
+        .withColumn("filled", F.col("value").isNull())
+        .withColumn("value", F.last("value", ignorenulls=True).over(w))
+    )

@@ -1,0 +1,152 @@
+"""Rollup cascade tests: fast path == long-form path == DuckDB oracle,
+re-aggregation invariants, LOCF properties, single-shuffle plan."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from kapra_spark import datagen
+from kapra_spark.operators import rollup as R
+
+N = 64
+N_TOK = 144
+
+
+@pytest.fixture(scope="module")
+def tokens_pdf():
+    return datagen.tokens_pdf(N, n_tok=N_TOK, seed=42, gap_fraction=0.3)
+
+
+@pytest.fixture(scope="module")
+def tokens(spark, tokens_pdf):
+    return spark.createDataFrame(tokens_pdf, schema=datagen.TOKENS_SCHEMA).cache()
+
+
+def _duck_rollup(tokens_pdf: pd.DataFrame, mins: int) -> pd.DataFrame:
+    import pyarrow as pa
+
+    con = duckdb.connect()
+    tbl = pa.table({
+        "doc_id": pa.array(tokens_pdf["doc_id"]),
+        "source": pa.array(tokens_pdf["source"]),
+        "tokens": pa.array([list(map(int, t)) for t in tokens_pdf["tokens"]],
+                           type=pa.list_(pa.int32())),
+    })
+    con.register("tokens", tbl)
+    q = f"""
+    WITH long AS (
+      SELECT doc_id, source,
+             generate_subscripts(tokens, 1) - 1 AS pos,
+             unnest(tokens) AS raw
+      FROM tokens
+    ), nulled AS (
+      SELECT doc_id, source, pos,
+             CASE WHEN raw = -1 THEN NULL ELSE raw END AS v FROM long
+    ), locf AS (
+      SELECT doc_id, source, pos,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY source, doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS value,
+             (v IS NULL AND last_value(v IGNORE NULLS) OVER (
+               PARTITION BY source, doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) IS NOT NULL) AS filled
+      FROM nulled
+    )
+    SELECT source, doc_id,
+           {R.EPOCH_SECONDS} + (pos // {mins}) * {mins} * 60 AS bucket,
+           count(value) AS cnt, sum(value) AS sum,
+           min(value) AS min, max(value) AS max,
+           first(value ORDER BY pos) FILTER (value IS NOT NULL) AS first,
+           last(value ORDER BY pos) FILTER (value IS NOT NULL) AS last,
+           sum(CASE WHEN filled THEN 1 ELSE 0 END) AS n_filled
+    FROM locf
+    GROUP BY 1, 2, 3
+    HAVING count(value) > 0
+    ORDER BY source, doc_id, bucket
+    """
+    return con.execute(q).df()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    return (df.sort_values(["source", "doc_id", "bucket"])
+            .reset_index(drop=True)
+            .astype({"cnt": "int64", "sum": "int64", "min": "int64",
+                     "max": "int64", "first": "int64", "last": "int64",
+                     "n_filled": "int64"}))
+
+
+@pytest.mark.parametrize("tier", ["1m", "1h", "1d"])
+def test_fast_path_matches_duckdb(tokens, tokens_pdf, tier):
+    mins = R.TIERS[tier]
+    fast = (R.cascade_fast(tokens, tiers=(tier,))
+            .toPandas().drop(columns=["tier"]))
+    oracle = _duck_rollup(tokens_pdf, mins)
+    pd.testing.assert_frame_equal(_norm(fast), _norm(oracle), check_dtype=False)
+
+
+def test_long_form_cascade_matches_fast(spark, tokens):
+    tiers = R.cascade(tokens)
+    fast = R.cascade_fast(tokens).toPandas()
+    for tier in ("1m", "1h", "1d"):
+        longf = tiers[tier].toPandas()
+        longf["bucket"] = longf["bucket"].astype("datetime64[ns]").astype("int64") // 10**9
+        ff = fast[fast["tier"] == tier].drop(columns=["tier"])
+        pd.testing.assert_frame_equal(_norm(ff), _norm(longf), check_dtype=False)
+
+
+def test_reaggregation_invariants(spark, tokens):
+    tiers = R.cascade(tokens)
+    m = tiers["1m"].toPandas()
+    h = tiers["1h"].toPandas()
+    m["hb"] = m["bucket"].astype("datetime64[ns]").astype("int64") // 10**9 // 3600 * 3600
+    agg = m.groupby(["source", "doc_id", "hb"]).agg(
+        cnt=("cnt", "sum"), sum=("sum", "sum"), min=("min", "min"), max=("max", "max"))
+    h["hb"] = h["bucket"].astype("datetime64[ns]").astype("int64") // 10**9
+    h2 = h.set_index(["source", "doc_id", "hb"])[["cnt", "sum", "min", "max"]]
+    pd.testing.assert_frame_equal(agg.sort_index(), h2.sort_index(), check_dtype=False)
+
+
+def test_locf_properties():
+    vals = np.array([
+        [-1, -1, 5, -1, 7, -1],
+        [3, -1, -1, 4, -1, -1],
+        [-1, -1, -1, -1, -1, -1],
+    ], dtype=np.int64)
+    filled, mask = R._locf_2d(vals)
+    assert np.isnan(filled[0, 0]) and np.isnan(filled[0, 1])  # leading gaps stay
+    assert filled[0, 3] == 5 and filled[0, 5] == 7
+    assert filled[1, 2] == 3 and filled[1, 5] == 4
+    assert np.isnan(filled[2]).all()
+    assert mask[0, 3] and not mask[0, 0] and not mask[0, 2]
+    # idempotence: re-filling a filled series changes nothing
+    refill, mask2 = R._locf_2d(np.where(np.isnan(filled), -1, filled).astype(np.int64))
+    assert np.array_equal(np.isnan(refill), np.isnan(filled))
+    assert np.array_equal(refill[~np.isnan(refill)], filled[~np.isnan(filled)])
+
+
+def test_single_shuffle_plan(spark, tokens):
+    """The whole long-form cascade must contain exactly one Exchange:
+    the upfront repartition on (source, doc_id)."""
+    tiers = R.cascade(tokens)
+    plan = tiers["1d"]._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges == 1, plan
+
+
+def test_retention():
+    import pyspark.sql.functions as F  # noqa
+    # pure arithmetic check on the helper
+    now = R.EPOCH_SECONDS + 10 * 86400
+    horizon = now - R.DEFAULT_RETENTION["1m"] * 60
+    assert horizon == now - 7 * 86400
+
+
+def test_tokens_df_deterministic_across_partitioning(spark):
+    a = datagen.tokens_df(spark, 200, n_tok=24, partitions=2).toPandas()
+    b = datagen.tokens_df(spark, 200, n_tok=24, partitions=7).toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a["source"].tolist() == b["source"].tolist()
+    for x, y in zip(a["tokens"], b["tokens"]):
+        assert list(x) == list(y)
