@@ -1,0 +1,136 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, ...extras}
+
+The tokens-cascade queries run over a deterministic synthetic tokens
+table (BASELINE.json input_hint shape) generated once into
+.bench_data/ and reused; points/sec per retention tier is reported in
+the extras (BASELINE.md's headline metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_tokens(spark, n: int, n_tok: int, path: str) -> None:
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    from kapra_spark import datagen
+
+    parts = max(64, n // 10_000)
+    datagen.tokens_df(spark, n, n_tok=n_tok, partitions=parts) \
+        .write.mode("overwrite").parquet(path)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from kapra_spark.session import get_spark
+
+    spark = get_spark("kapra_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_series = max(1000, int(1_000_000 * sf))
+    n_tok = 144
+    tokens_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".bench_data", f"tokens_{n_series}_{n_tok}")
+    ensure_tokens(spark, n_series, n_tok, tokens_path)
+
+    import __spark_entry__ as E
+    from kapra_spark.operators import rollup as R
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    tokens = spark.read.parquet(tokens_path)
+    total_points = n_series * n_tok
+
+    # warm up the JVM + Python workers so timings measure the
+    # operators, not process spawn / codegen compilation
+    tokens.limit(1000).mapInPandas(lambda it: it, tokens.schema).count()
+    tokens.count()
+
+    # q1: all-tier cascade, zero-shuffle fast path
+    def q_fast():
+        rows = R.cascade_fast(tokens).groupBy("tier").count().collect()
+        extras["rollup_rows_fast"] = int(sum(r["count"] for r in rows))
+
+    timed("tokens_cascade_fast", q_fast)
+    extras["points_per_sec_fast"] = round(total_points / timings["tokens_cascade_fast"], 1)
+
+    # q2: long-form cascade (single-shuffle plan), materialize 1d tier
+    def q_long():
+        tiers = R.cascade(tokens)
+        extras["rollup_rows_1d"] = tiers["1d"].count()
+
+    timed("tokens_cascade_longform", q_long)
+    extras["points_per_sec_longform"] = round(total_points / timings["tokens_cascade_longform"], 1)
+
+    # q2b: production path — 1m tier as Gorilla blocks + 1h/1d rows
+    from pyspark.sql import functions as F
+
+    from kapra_spark.operators.compress import compress_tokens
+
+    def q_prod():
+        blocks = compress_tokens(tokens)
+        st = blocks.agg(F.sum(F.length("payload")).alias("b"),
+                        F.sum("n").alias("p")).collect()[0]
+        extras["gorilla_bits_per_point"] = round(st["b"] * 8 / st["p"], 2)
+        R.cascade_fast(tokens, tiers=("1h", "1d")).groupBy("tier").count().collect()
+
+    timed("tokens_compress_plus_rollup", q_prod)
+    extras["points_per_sec_production"] = round(
+        total_points / timings["tokens_compress_plus_rollup"], 1)
+
+    # q3/q4: events rollup + gap-fill on driver testdata
+    timed("events_rollup_1h", lambda: E.q_rollup_1h_events(spark, sf_dir).count())
+    timed("events_gapfill_locf", lambda: E.q_gapfill_locf_events(spark, sf_dir).count())
+
+    # q5/q6: envelope + VL group aggregates on lineitem
+    timed("envelope_groups", lambda: E.q_envelope_groups(spark, sf_dir).count())
+    timed("vl_groups", lambda: E.q_vl_groups(spark, sf_dir).count())
+
+    # q7: broadcast join
+    timed("join_broadcast", lambda: E.q_join_broadcast(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "rolled-up points/sec per retention tier (tokens cascade) + headline query wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_series": n_series,
+        "n_tok": n_tok,
+        **extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,340 @@
+"""Gorilla-style compression: delta-of-delta timestamps + XOR values.
+
+From the published scheme (Pelkonen et al., VLDB 2015, "Gorilla: A
+fast, scalable, in-memory time series database", §4.1), re-implemented
+for int64 token values with fully vectorized NumPy bit packing — a
+whole Arrow batch of series is encoded in one pass; no per-row Python.
+
+Bit layout per block:
+  header: first timestamp (t0) and first value (v0) live in typed
+  columns next to the payload (FIXTURES.md F-5), so the payload holds
+  only the 2nd..nth points:
+
+  timestamps (delta-of-delta, dod = (t_i - t_{i-1}) - (t_{i-1} - t_{i-2});
+  the first delta is encoded as a dod against delta0 = 0):
+    dod == 0                  -> '0'
+    dod in [-63, 64]          -> '10'   + 7 bits (zigzag)
+    dod in [-255, 256]        -> '110'  + 9 bits
+    dod in [-2047, 2048]      -> '1110' + 12 bits
+    else                      -> '1111' + 64 bits raw
+
+  values (xor = v_i ^ v_{i-1}, as uint64):
+    xor == 0                  -> '0'
+    else                      -> '1' + 6 bits (#leading zeros)
+                                     + 6 bits (significant length - 1)
+                                     + significant bits
+
+(The original Gorilla reuses the previous leading/length window when it
+still fits; we always emit the 13-bit control — a simpler, stateless
+variant that vectorizes cleanly and costs <1 bit/point on typical token
+streams. Decoding is therefore also stateless per point.)
+
+For the engine's fixed 1-minute grids every dod is 0, so timestamps
+cost 1 bit/point and values dominate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_DOD_BRANCHES = (  # (control bits as (bits, nbits), payload bits, lo, hi)
+    ((0b0, 1), 0, 0, 0),
+    ((0b10, 2), 7, -63, 64),
+    ((0b110, 3), 9, -255, 256),
+    ((0b1110, 4), 12, -2047, 2048),
+    ((0b1111, 4), 64, None, None),
+)
+
+
+def _bits_of(vals: np.ndarray, nbits: int) -> np.ndarray:
+    """(n,) uint64 -> (n, nbits) of 0/1, MSB first."""
+    shifts = np.arange(nbits - 1, -1, -1, dtype=np.uint64)
+    return ((vals[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+
+
+def _leading_zeros64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (x > 0)."""
+    n = np.zeros(x.shape, dtype=np.int64)
+    v = x.copy()
+    for shift, bits in ((32, np.uint64(0xFFFFFFFF00000000)),
+                        (16, np.uint64(0xFFFF000000000000)),
+                        (8, np.uint64(0xFF00000000000000)),
+                        (4, np.uint64(0xF000000000000000)),
+                        (2, np.uint64(0xC000000000000000)),
+                        (1, np.uint64(0x8000000000000000))):
+        mask = (v & bits) == 0
+        n = np.where(mask, n + shift, n)
+        v = np.where(mask, v << np.uint64(shift), v)
+    return np.where(x == 0, 64, n)
+
+
+def _trailing_zeros64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-trailing-zeros for uint64 (0 -> 0)."""
+    lsb = x & (~x + np.uint64(1))  # isolate lowest set bit
+    return np.where(x == 0, 0, 63 - _leading_zeros64(lsb))
+
+
+def encode_block(ts: np.ndarray, values: np.ndarray) -> tuple[int, int, int, bytes]:
+    """Encode one series. Returns (t0, v0, n, payload). Thin wrapper
+    over the batch encoder (used by tests; production uses
+    :func:`encode_batch`)."""
+    t0, v0, n, payloads = encode_batch(ts[None, :], values[None, :])
+    return int(t0[0]), int(v0[0]), int(n[0]), payloads[0]
+
+
+def encode_batch(ts2d: np.ndarray, vals2d: np.ndarray, chunk_rows: int = 1024
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[bytes]]:
+    """Encode (rows, T) timestamp + value matrices into per-row blocks.
+
+    Entirely vectorized: builds a (rows, T-1, maxbits) bit tensor plus
+    validity mask, scatters valid bits into one byte-aligned flat
+    buffer, and packs with a single ``np.packbits``. The bit budget is
+    sized from the data (typical token streams need ~25 bits/point, not
+    the 145-bit worst case) and rows are processed in chunks to bound
+    the tensor's memory.
+    """
+    ts2d = np.asarray(ts2d, dtype=np.int64)
+    vals2d = np.asarray(vals2d, dtype=np.int64)
+    rows = vals2d.shape[0]
+    if rows > chunk_rows:
+        t0s, v0s, ns, payloads = [], [], [], []
+        for s in range(0, rows, chunk_rows):
+            a, b, c, d = encode_batch(ts2d[s:s + chunk_rows],
+                                      vals2d[s:s + chunk_rows], chunk_rows)
+            t0s.append(a)
+            v0s.append(b)
+            ns.append(c)
+            payloads.extend(d)
+        return (np.concatenate(t0s), np.concatenate(v0s),
+                np.concatenate(ns), payloads)
+    t = vals2d.shape[1]
+    t0 = ts2d[:, 0].copy()
+    v0 = vals2d[:, 0].copy()
+    n = np.full(rows, t, dtype=np.int64)
+    if t == 1:
+        return t0, v0, n, [b""] * rows
+
+    # --- timestamp dod fields ---
+    deltas = np.diff(ts2d, axis=1)                       # (rows, t-1)
+    prev_delta = np.concatenate([np.zeros((rows, 1), np.int64), deltas[:, :-1]], axis=1)
+    dod = deltas - prev_delta
+
+    # --- value xor fields ---
+    xor = (vals2d[:, 1:] ^ vals2d[:, :-1]).view(np.uint64)
+    lz = np.minimum(_leading_zeros64(xor), 63)           # 6-bit field
+    tz = _trailing_zeros64(xor)
+    nz = xor != 0
+    siglen = np.where(nz, 64 - lz - tz, 1)               # meaningful bits
+    sig = np.where(nz, xor >> tz.astype(np.uint64), np.uint64(0))
+
+    # --- classify dod branches (0..4) ---
+    branch = np.full(dod.shape, 4, dtype=np.int8)
+    branch[(dod >= -2047) & (dod <= 2048)] = 3
+    branch[(dod >= -255) & (dod <= 256)] = 2
+    branch[(dod >= -63) & (dod <= 64)] = 1
+    branch[dod == 0] = 0
+    ctrl_tab = np.array([1, 2, 3, 4, 4], dtype=np.int64)
+    pay_tab = np.array([0, 7, 9, 12, 64], dtype=np.int64)
+    lo_tab = np.array([0, -63, -255, -2047, 0], dtype=np.int64)
+    ctrl_val_tab = np.array([0b0, 0b10, 0b110, 0b1110, 0b1111], dtype=np.uint64)
+
+    ctrln = ctrl_tab[branch]
+    payn = pay_tab[branch]
+    val_n = 1 + np.where(nz, 12 + siglen, 0)
+
+    # --- exact per-point bit offsets, direct scatter (no bit tensor) ---
+    ptlen = ctrln + payn + val_n                          # (rows, t-1)
+    row_bits = ptlen.sum(axis=1)
+    row_bytes = (row_bits + 7) // 8
+    byte_offsets = np.concatenate([[0], np.cumsum(row_bytes)])
+    row_start = byte_offsets[:-1] * 8
+    pt_start = row_start[:, None] + (np.cumsum(ptlen, axis=1) - ptlen)
+    out = np.zeros(int(byte_offsets[-1]) * 8, dtype=np.uint8)
+
+    one = np.uint64(1)
+
+    def write_const(mask: np.ndarray, start: np.ndarray, values: np.ndarray,
+                    nbits: int) -> None:
+        """MSB-first write of a fixed-width field for masked points."""
+        s = start[mask]
+        v = values[mask].astype(np.uint64)
+        for j in range(nbits):
+            out[s + j] = ((v >> np.uint64(nbits - 1 - j)) & one).astype(np.uint8)
+
+    def write_var(mask: np.ndarray, start: np.ndarray, values: np.ndarray,
+                  nbits: np.ndarray) -> None:
+        """MSB-first write of a variable-width field."""
+        s = start[mask]
+        v = values[mask].astype(np.uint64)
+        nb = nbits[mask]
+        for j in range(int(nb.max()) if len(nb) else 0):
+            sel = nb > j
+            out[s[sel] + j] = ((v[sel] >> (nb[sel] - 1 - j).astype(np.uint64)) & one).astype(np.uint8)
+
+    # timestamps: control + payload per branch
+    for b in range(5):
+        m = branch == b
+        if not m.any():
+            continue
+        write_const(m, pt_start, np.broadcast_to(ctrl_val_tab[b], dod.shape),
+                    int(ctrl_tab[b]))
+        pn = int(pay_tab[b])
+        if pn:
+            if b < 4:
+                enc = (dod - lo_tab[b]).astype(np.uint64)  # offset encoding
+            else:
+                enc = dod.view(np.uint64)
+            write_const(m, pt_start + ctrln, enc, pn)
+
+    # values: flag, then (lz, siglen-1, sig) for non-zero xors
+    vstart = pt_start + ctrln + payn
+    write_const(np.ones_like(nz), vstart, nz.astype(np.uint64), 1)
+    if nz.any():
+        write_const(nz, vstart + 1, lz.astype(np.uint64), 6)
+        write_const(nz, vstart + 7, (siglen - 1).astype(np.uint64), 6)
+        write_var(nz, vstart + 13, sig, siglen)
+
+    buf = np.packbits(out).tobytes()
+    payloads = [buf[byte_offsets[i]:byte_offsets[i + 1]] for i in range(rows)]
+    return t0, v0, n, payloads
+
+
+def decode_batch(t0: np.ndarray, v0: np.ndarray, n: np.ndarray,
+                 payloads: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Decode equal-length blocks in lockstep, vectorized across blocks.
+
+    All blocks must share the same point count (the engine's blocks are
+    per-(series, day) on a fixed grid, so this is the common case; for
+    ragged inputs group by n first). Returns (ts2d, vals2d) int64."""
+    rows = len(payloads)
+    t = int(n[0])
+    assert (np.asarray(n) == t).all(), "decode_batch requires equal n"
+    ts2d = np.empty((rows, t), dtype=np.int64)
+    vals2d = np.empty((rows, t), dtype=np.int64)
+    ts2d[:, 0] = t0
+    vals2d[:, 0] = v0
+    if t == 1:
+        return ts2d, vals2d
+
+    maxbytes = max(len(p) for p in payloads)
+    buf = np.zeros((rows, maxbytes), dtype=np.uint8)
+    for i, p in enumerate(payloads):
+        if p:
+            buf[i, :len(p)] = np.frombuffer(p, dtype=np.uint8)
+    bits = np.unpackbits(buf, axis=1)                     # (rows, maxbytes*8)
+
+    cur = np.zeros(rows, dtype=np.int64)
+    delta = np.zeros(rows, dtype=np.int64)
+    ridx = np.arange(rows)
+
+    def read(mask: np.ndarray, nbits_arr: np.ndarray) -> np.ndarray:
+        """Read per-row variable-width fields at the cursor (masked)."""
+        outv = np.zeros(rows, dtype=np.uint64)
+        nb = nbits_arr
+        mx = int(nb[mask].max()) if mask.any() else 0
+        for j in range(mx):
+            sel = mask & (nb > j)
+            outv[sel] = (outv[sel] << one) | bits[ridx[sel], cur[sel] + j].astype(np.uint64)
+        cur[mask] += nb[mask]
+        return outv
+
+    one = np.uint64(1)
+    ones = np.ones(rows, dtype=np.int64)
+
+    for i in range(1, t):
+        # --- timestamp branch: read up to 4 control bits ---
+        branch = np.zeros(rows, dtype=np.int64)
+        live = np.ones(rows, dtype=bool)
+        for level in range(4):
+            b = read(live, ones).astype(bool)
+            stop = live & ~b
+            branch[stop] = level
+            live = live & b
+            if not live.any():
+                break
+        branch[live] = 4
+
+        dod = np.zeros(rows, dtype=np.int64)
+        for bidx, (pn, lo) in enumerate([(0, 0), (7, -63), (9, -255),
+                                         (12, -2047), (64, None)]):
+            m = branch == bidx
+            if pn == 0 or not m.any():
+                continue
+            raw = read(m, np.full(rows, pn, dtype=np.int64)).astype(np.int64)
+            if lo is not None:
+                dod[m] = raw[m] + lo
+            else:
+                # 64-bit raw: uint64 -> int64 cast wraps two's complement
+                dod[m] = raw[m]
+        delta = delta + dod
+        ts2d[:, i] = ts2d[:, i - 1] + delta
+
+        # --- value ---
+        flag = read(np.ones(rows, dtype=bool), ones).astype(bool)
+        vals2d[:, i] = vals2d[:, i - 1]
+        if flag.any():
+            lz = read(flag, np.full(rows, 6, dtype=np.int64)).astype(np.int64)
+            sl = read(flag, np.full(rows, 6, dtype=np.int64)).astype(np.int64) + 1
+            sig = read(flag, sl)
+            shift = np.where(flag, 64 - lz - sl, 0).astype(np.uint64)
+            xor = sig << shift
+            prev = np.ascontiguousarray(vals2d[:, i - 1]).view(np.uint64)
+            newv = (prev ^ xor).view(np.int64)
+            vals2d[flag, i] = newv[flag]
+    return ts2d, vals2d
+
+
+class _BitReader:
+    __slots__ = ("bits", "pos")
+
+    def __init__(self, payload: bytes):
+        self.bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        b = self.bits[self.pos:self.pos + n]
+        self.pos += n
+        out = 0
+        for bit in b:
+            out = (out << 1) | int(bit)
+        return out
+
+
+def decode_block(t0: int, v0: int, n: int, payload: bytes
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one block back to (ts, values). Exact inverse of
+    :func:`encode_block` (round-trip token-array equality is the
+    per-row invariant, BASELINE.json input_hint)."""
+    ts = np.empty(n, dtype=np.int64)
+    vals = np.empty(n, dtype=np.int64)
+    ts[0] = t0
+    vals[0] = v0
+    if n == 1:
+        return ts, vals
+    r = _BitReader(payload)
+    delta = 0
+    for i in range(1, n):
+        # timestamp
+        if r.read(1) == 0:
+            dod = 0
+        elif r.read(1) == 0:
+            dod = r.read(7) - 63
+        elif r.read(1) == 0:
+            dod = r.read(9) - 255
+        elif r.read(1) == 0:
+            dod = r.read(12) - 2047
+        else:
+            raw = r.read(64)
+            dod = raw - (1 << 64) if raw >= (1 << 63) else raw
+        delta += dod
+        ts[i] = ts[i - 1] + delta
+        # value
+        if r.read(1) == 0:
+            vals[i] = vals[i - 1]
+        else:
+            lz = r.read(6)
+            siglen = r.read(6) + 1
+            sig = r.read(siglen)
+            xor = sig << (64 - lz - siglen)
+            vals[i] = np.int64(np.uint64(vals[i - 1]) ^ np.uint64(xor))
+    return ts, vals

@@ -197,65 +197,87 @@ def _locf_2d(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return carried, filled_mask
 
 
-def _tier_frames(pdf: pd.DataFrame, tiers: tuple[str, ...]) -> list[pd.DataFrame]:
-    out = []
-    for n_tok, grp in pdf.groupby("n_tok"):
-        vals = np.stack(grp["tokens"].to_numpy())
-        filled, fmask = _locf_2d(vals)
-        for tier in tiers:
-            mins = TIERS[tier]
-            nb = int(np.ceil(vals.shape[1] / mins))
-            pad = nb * mins - vals.shape[1]
-            fv = np.pad(filled, ((0, 0), (0, pad)), constant_values=np.nan)
-            fm = np.pad(fmask, ((0, 0), (0, pad)), constant_values=False)
-            r = fv.reshape(len(grp), nb, mins)
-            rm = fm.reshape(len(grp), nb, mins)
-            obs = ~np.isnan(r)
-            cnt = obs.sum(axis=2)
-            with np.errstate(all="ignore"):
-                s = np.nansum(np.where(obs, r, 0), axis=2)
-                mn = np.nanmin(np.where(obs, r, np.inf), axis=2)
-                mx = np.nanmax(np.where(obs, r, -np.inf), axis=2)
-            first_idx = np.argmax(obs, axis=2)
-            last_idx = mins - 1 - np.argmax(obs[:, :, ::-1], axis=2)
-            ri = np.arange(len(grp))[:, None]
-            bi = np.arange(nb)[None, :]
-            first = r[ri, bi, first_idx]
-            last = r[ri, bi, last_idx]
-            nfil = rm.sum(axis=2)
-
-            keep = cnt > 0
-            rr, bb = np.nonzero(keep)
-            out.append(pd.DataFrame({
-                "tier": tier,
-                "source": grp["source"].to_numpy()[rr],
-                "doc_id": grp["doc_id"].to_numpy()[rr],
-                "bucket": EPOCH_SECONDS + bb * mins * 60,
-                "cnt": cnt[rr, bb].astype(np.int64),
-                "sum": s[rr, bb].astype(np.int64),
-                "min": mn[rr, bb].astype(np.int64),
-                "max": mx[rr, bb].astype(np.int64),
-                "first": first[rr, bb].astype(np.int64),
-                "last": last[rr, bb].astype(np.int64),
-                "n_filled": nfil[rr, bb].astype(np.int64),
-            }))
-    return out
+def _tier_reduce(filled: np.ndarray, fmask: np.ndarray, mins: int):
+    """(rows, T) LOCF'd matrix -> per-bucket (cnt,sum,min,max,first,
+    last,n_filled) arrays + (row, bucket) indices of non-empty buckets."""
+    rows, t = filled.shape
+    nb = int(np.ceil(t / mins))
+    pad = nb * mins - t
+    fv = np.pad(filled, ((0, 0), (0, pad)), constant_values=np.nan)
+    fm = np.pad(fmask, ((0, 0), (0, pad)), constant_values=False)
+    r = fv.reshape(rows, nb, mins)
+    rm = fm.reshape(rows, nb, mins)
+    obs = ~np.isnan(r)
+    cnt = obs.sum(axis=2)
+    s = np.nansum(np.where(obs, r, 0), axis=2)
+    with np.errstate(all="ignore"):
+        mn = np.min(np.where(obs, r, np.inf), axis=2)
+        mx = np.max(np.where(obs, r, -np.inf), axis=2)
+    first_idx = np.argmax(obs, axis=2)
+    last_idx = mins - 1 - np.argmax(obs[:, :, ::-1], axis=2)
+    ri = np.arange(rows)[:, None]
+    bi = np.arange(nb)[None, :]
+    first = r[ri, bi, first_idx]
+    last = r[ri, bi, last_idx]
+    nfil = rm.sum(axis=2)
+    rr, bb = np.nonzero(cnt > 0)
+    return rr, bb, cnt, s, mn, mx, first, last, nfil
 
 
 def cascade_fast(tokens_df: DataFrame,
                  tiers: tuple[str, ...] = ("1m", "1h", "1d")) -> DataFrame:
-    """All tiers in ONE narrow mapInPandas pass (no shuffle at all):
+    """All tiers in ONE narrow mapInArrow pass (no shuffle at all):
     each input row carries its whole series, so every bucket of every
     tier is computable locally. Output: union of tiers, tagged by
-    ``tier``; bucket as epoch seconds. Integer-exact."""
+    ``tier``; bucket as epoch seconds. Integer-exact. String columns
+    are gathered with Arrow ``take`` — no Python objects anywhere."""
+    import pyarrow as pa
+
+    arrow_schema = pa.schema([
+        ("tier", pa.string()), ("source", pa.string()), ("doc_id", pa.string()),
+        ("bucket", pa.int64()), ("cnt", pa.int64()), ("sum", pa.int64()),
+        ("min", pa.int64()), ("max", pa.int64()), ("first", pa.int64()),
+        ("last", pa.int64()), ("n_filled", pa.int64()),
+    ])
 
     def run(batches):
-        for pdf in batches:
-            if len(pdf):
-                for frame in _tier_frames(pdf, tiers):
-                    yield frame
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            n_tok = rb.column(2).to_numpy()
+            col = rb.column(1)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            offsets = col.offsets.to_numpy()
+            flat = col.values.to_numpy(zero_copy_only=False)
+            for nt in np.unique(n_tok):
+                idx = np.nonzero(n_tok == nt)[0]
+                starts = offsets[idx]
+                vals = flat[starts[:, None] + np.arange(nt)[None, :]].astype(np.int64)
+                filled, fmask = _locf_2d(vals)
+                for tier in tiers:
+                    mins = TIERS[tier]
+                    rr, bb, cnt, s, mn, mx, first, last, nfil = _tier_reduce(
+                        filled, fmask, mins)
+                    take = pa.array(idx[rr], type=pa.int64())
+                    tier_col = pa.DictionaryArray.from_arrays(
+                        pa.array(np.zeros(len(rr), dtype=np.int32)),
+                        pa.array([tier])).cast(pa.string())
+                    yield pa.RecordBatch.from_arrays([
+                        tier_col,
+                        rb.column(3).take(take),
+                        rb.column(0).take(take),
+                        pa.array(EPOCH_SECONDS + bb.astype(np.int64) * mins * 60),
+                        pa.array(cnt[rr, bb].astype(np.int64)),
+                        pa.array(s[rr, bb].astype(np.int64)),
+                        pa.array(mn[rr, bb].astype(np.int64)),
+                        pa.array(mx[rr, bb].astype(np.int64)),
+                        pa.array(first[rr, bb].astype(np.int64)),
+                        pa.array(last[rr, bb].astype(np.int64)),
+                        pa.array(nfil[rr, bb].astype(np.int64)),
+                    ], schema=arrow_schema)
 
-    return tokens_df.mapInPandas(run, _FAST_SCHEMA)
+    return tokens_df.mapInArrow(run, _FAST_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -307,12 +329,14 @@ def events_gapfill(events_df: DataFrame, tier_seconds: int,
                    ts_col: str = "ts", value_col: str = "value") -> DataFrame:
     """Dense per-series bucket spine via sequence+explode (J4), left
     join of actual buckets, then LOCF (W1). ``filled`` marks carried
-    buckets. One value per (series, bucket): the bucket avg."""
+    buckets. One value per (series, bucket): the bucket sum (a sum of
+    2-decimal inputs stays decimal-exact after round(4), unlike an avg
+    whose quotient can straddle a rounding boundary between engines)."""
     bucket = (F.unix_timestamp(ts_col) / tier_seconds).cast("long") * tier_seconds
     actual = (
         events_df
         .groupBy(F.col(series_col).alias("series"), bucket.alias("bucket"))
-        .agg(F.avg(value_col).alias("value"))
+        .agg(F.sum(value_col).alias("value"))
     )
     bounds = events_df.agg(
         (F.floor(F.min(F.unix_timestamp(ts_col)) / tier_seconds) * tier_seconds).alias("lo"),
