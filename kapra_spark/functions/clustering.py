@@ -636,9 +636,16 @@ def bottom_up_kgroups(
     p_value: int,
     k_value: int,
     rnd: RandomSource,
-) -> list[list[int]]:
-    """P-subgroups -> k-groups, evaluated entirely on envelope
-    summaries (exact, because VL is envelope-determined)."""
+) -> tuple[list[list[int]], list[list[int]]]:
+    """P-subgroups -> (k-groups, unplaceable subgroups), evaluated
+    entirely on envelope summaries (exact, because VL is
+    envelope-determined).
+
+    The second element is non-empty only when NO k-group could be
+    formed at all (total records < k) — input the reference refuses
+    outright (naive.py:22-26) or crashes on (k_anonymity.py:159-167
+    pops from an empty GL); the engine suppresses those records
+    instead, which is the privacy-safe resolution."""
     t = values.shape[1]
 
     # preprocessing: split subgroups >= 2p down to ~p via C1+C2
@@ -700,11 +707,12 @@ def bottom_up_kgroups(
         gl.append(g)
 
     leftovers = [sg for i, sg in enumerate(pgl) if i not in merged_idxs]
+    unplaced: list[list[int]] = []
     for sg in leftovers:
-        sg_env = Env(*envelope(values[sg]))
         if not gl:
-            gl.append(list(sg))
+            unplaced.append(list(sg))
             continue
+        sg_env = Env(*envelope(values[sg]))
         gl_hi = np.stack([envelope(values[g])[0] for g in gl])
         gl_lo = np.stack([envelope(values[g])[1] for g in gl])
         gl_n = np.array([len(g) for g in gl])
@@ -713,7 +721,7 @@ def bottom_up_kgroups(
         g_prime = g_prime + sg
         gl.append(g_prime)
 
-    return gl
+    return gl, unplaced
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,134 @@
+"""(k,P)-anonymity grouping as a Spark operator (SURVEY.md C1-C6, F9).
+
+The reference's clustering is inherently sequential-greedy over one
+table (reference includes/common.py, includes/k_anonymity.py); here
+each ``source`` is an independent table, so the engine runs the exact
+parity-tested kernels (functions/clustering.py) group-locally inside
+``groupBy(source).applyInPandas`` — one Arrow batch per source, NumPy
+vectorized interiors, per-source seeded RNG so results are reproducible
+and partition-layout independent (SURVEY.md §4.3).
+
+Input follows the reference's column convention (includes/io.py:131-134):
+the LAST token of each row is the sensitive attribute; the rest are the
+series. Output: per-record group id, shared SAX pattern, perturbed
+sensitive value, and the k-group envelope (lo/hi arrays) — the
+engine-native form of the reference's "[lo|hi]" strings
+(includes/anonymized_dataset.py:27-50). Suppressed records keep null
+group/sax/envelope (the " - " rows).
+
+Scale note: one source's records must fit one executor's Arrow batch
+(the same bound the single-node reference has for its whole table).
+For larger sources, pre-split by a salted sub-source key — each split
+is anonymized independently, which keeps (k,P) guarantees because
+groups never span splits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..functions import clustering as C
+
+ANON_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("source", T.StringType(), False),
+    T.StructField("group_id", T.StringType(), True),
+    T.StructField("sax", T.StringType(), True),
+    T.StructField("as_perturbed", T.LongType(), True),
+    T.StructField("lo", T.ArrayType(T.LongType()), True),
+    T.StructField("hi", T.ArrayType(T.LongType()), True),
+    T.StructField("suppressed", T.BooleanType(), False),
+])
+
+
+def _anonymize_source(pdf: pd.DataFrame, k: int, p: int, paa: int, l: int,
+                      algorithm: str, seed: int) -> pd.DataFrame:
+    source = pdf["source"].iloc[0]
+    # canonical row order: results must not depend on partition layout
+    # (SURVEY.md §4.3 — sort within group before any greedy scan)
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    ids = pdf["doc_id"].tolist()
+    mat = np.stack(pdf["tokens"].to_numpy()).astype(np.float64)
+    values = mat[:, :-1]          # series (QI attributes)
+    sensitive = {i: int(mat[i, -1]) for i in range(len(mat))}
+
+    rnd = C.NumpyRandomSource(C.stable_seed(seed, source))
+    rows = list(range(len(values)))
+
+    suppressed_rows: list[list[int]] = []
+    if algorithm == "kapra":
+        tree = C.create_tree("kapra", values, rows, p, paa)
+        k_groups, unplaced = C.bottom_up_kgroups(
+            values, [list(g) for g in tree.p_groups], p, k, rnd)
+        patterns = tree.patterns
+        # sources with < k records can't form any k-group: suppress
+        # (the reference refuses such input outright, naive.py:22-26)
+        suppressed_rows = tree.suppressed + unplaced
+    elif algorithm == "naive":
+        gmax = values.max(axis=0)
+        gmin = values.min(axis=0)
+        k_groups_raw: list[list[int]] = []
+        labels: list[str] = []
+        C.top_down_greedy("naive", rows, k, values, k_groups_raw, labels,
+                          rnd, "o", gmax, gmin)
+        # NOTE: the reference computes postprocessing but rebinds a
+        # local, so its naive path uses the RAW top-down clusters
+        # (k_anonymity.py:27-32 vs naive.py:34-35); we mirror that.
+        k_groups = k_groups_raw
+        patterns = {}
+        for grp in k_groups:
+            tree = C.create_tree("naive", values, list(grp), p, paa)
+            patterns.update(tree.patterns)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+
+    C.enforce_l_diversity(patterns, sensitive, k_groups, l, rnd)
+
+    out = {
+        "doc_id": [], "source": [], "group_id": [], "sax": [],
+        "as_perturbed": [], "lo": [], "hi": [], "suppressed": [],
+    }
+    for gi, grp in enumerate(k_groups):
+        glo = values[grp].min(axis=0).astype(np.int64)
+        ghi = values[grp].max(axis=0).astype(np.int64)
+        for r in grp:
+            out["doc_id"].append(ids[r])
+            out["source"].append(source)
+            out["group_id"].append(f"{source}#{gi}")
+            out["sax"].append(patterns.get(r))
+            out["as_perturbed"].append(sensitive[r])
+            out["lo"].append(glo)
+            out["hi"].append(ghi)
+            out["suppressed"].append(False)
+    for grp in suppressed_rows:
+        for r in grp:
+            out["doc_id"].append(ids[r])
+            out["source"].append(source)
+            out["group_id"].append(None)
+            out["sax"].append(None)
+            out["as_perturbed"].append(None)
+            out["lo"].append(None)
+            out["hi"].append(None)
+            out["suppressed"].append(True)
+    return pd.DataFrame(out)
+
+
+def kp_anonymize(tokens_df: DataFrame, k: int, p: int, paa: int, l: int = 1,
+                 algorithm: str = "kapra", seed: int = 42,
+                 group_col: str = "source") -> DataFrame:
+    """(k,P)-anonymity with l-diversity per ``source``.
+
+    Equivalent CLI in the reference:
+    ``python k_P_anonymity.py <algorithm> <k> <P> <paa> <l> <csv>``
+    (k_P_anonymity.py:28-56), one run per source table.
+    """
+    if k < p:
+        raise ValueError("k must be >= P (reference k_P_anonymity.py:40-44)")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _anonymize_source(pdf, k, p, paa, l, algorithm, seed)
+
+    return tokens_df.groupBy(group_col).applyInPandas(fn, ANON_SCHEMA)

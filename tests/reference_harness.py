@@ -67,9 +67,17 @@ def _install_stubs() -> None:
     distance.cosine = _cosine
     spatial.distance = distance
     scipy.spatial = spatial
-    sys.modules["scipy"] = scipy
-    sys.modules["scipy.spatial"] = spatial
-    sys.modules["scipy.spatial.distance"] = distance
+    # give the stubs real ModuleSpecs so importlib.util.find_spec
+    # (used by pyspark's have_package) doesn't choke on them
+    import importlib.machinery
+
+    for name, mod in [("scipy", scipy), ("scipy.spatial", spatial),
+                      ("scipy.spatial.distance", distance),
+                      *[(n, sys.modules[n]) for n in list(sys.modules)
+                        if n.startswith("saxpy") or n == "loguru"]]:
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        mod.__version__ = "0.0.0-stub"
+        sys.modules[name] = mod
 
 
 def load_reference():

@@ -1,0 +1,147 @@
+"""End-to-end (k,P)-anonymity pipeline tests: privacy guarantees,
+partition properties, determinism, metric consistency, CSV compat."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kapra_spark import datagen
+from kapra_spark.functions import metrics as M
+from kapra_spark.operators.grouping import kp_anonymize
+
+K, P, PAA, L = 8, 4, 4, 2
+N = 120
+
+
+@pytest.fixture(scope="module")
+def tokens(spark):
+    pdf = datagen.tokens_pdf(N, n_tok=13, seed=11, gap_fraction=0.0)
+    return spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA).cache()
+
+
+@pytest.fixture(scope="module")
+def anon_kapra(spark, tokens):
+    return kp_anonymize(tokens, k=K, p=P, paa=PAA, l=L,
+                        algorithm="kapra").toPandas()
+
+
+def test_partition_property(anon_kapra, tokens):
+    """grouped + suppressed rows partition the input exactly."""
+    ids = set(r.doc_id for r in tokens.select("doc_id").collect())
+    assert set(anon_kapra["doc_id"]) == ids
+    assert len(anon_kapra) == len(ids)  # no duplicates
+
+
+def test_k_guarantee(anon_kapra):
+    grouped = anon_kapra[~anon_kapra["suppressed"]]
+    sizes = grouped.groupby("group_id").size()
+    assert (sizes >= K).all(), sizes[sizes < K]
+
+
+def test_p_guarantee(anon_kapra):
+    """every P-subgroup (same group, same sax) has >= P members."""
+    grouped = anon_kapra[~anon_kapra["suppressed"]]
+    psub = grouped.groupby(["group_id", "sax"]).size()
+    assert (psub >= P).all(), psub[psub < P]
+
+
+def test_envelope_contains_series(anon_kapra, tokens):
+    toks = {r.doc_id: np.array(r.tokens[:-1]) for r in tokens.collect()}
+    for _, row in anon_kapra[~anon_kapra["suppressed"]].iterrows():
+        s = toks[row["doc_id"]]
+        assert (s >= np.array(row["lo"])).all()
+        assert (s <= np.array(row["hi"])).all()
+
+
+def test_groups_within_source(anon_kapra):
+    grouped = anon_kapra[~anon_kapra["suppressed"]]
+    for gid, grp in grouped.groupby("group_id"):
+        assert grp["source"].nunique() == 1
+        assert gid.startswith(grp["source"].iloc[0] + "#")
+
+
+def test_determinism(spark, tokens, anon_kapra):
+    again = kp_anonymize(tokens.repartition(7), k=K, p=P, paa=PAA, l=L,
+                         algorithm="kapra").toPandas()
+    a = anon_kapra.sort_values("doc_id").reset_index(drop=True)
+    b = again.sort_values("doc_id").reset_index(drop=True)
+    for c in ("group_id", "sax", "as_perturbed", "suppressed"):
+        av = a[c].astype(object).where(a[c].notna(), None).tolist()
+        bv = b[c].astype(object).where(b[c].notna(), None).tolist()
+        assert av == bv, c
+
+
+def test_naive_path(spark, tokens):
+    anon = kp_anonymize(tokens, k=K, p=P, paa=PAA, l=L,
+                        algorithm="naive").toPandas()
+    assert not anon["suppressed"].any()  # naive never suppresses
+    assert len(anon) == N
+    assert anon["sax"].notna().all()
+
+
+def test_value_loss_consistency(spark, tokens, anon_kapra):
+    """Spark HOF aggregate equals the NumPy reference formula."""
+    from kapra_spark.operators.grouping import kp_anonymize as _
+    from kapra_spark.operators.metrics_ops import group_value_loss
+
+    anon_df = spark.createDataFrame(anon_kapra)
+    vl_spark = {r["group_id"]: r["vl"]
+                for r in group_value_loss(anon_df).collect()}
+    grouped = anon_kapra[~anon_kapra["suppressed"]]
+    for gid, grp in grouped.groupby("group_id"):
+        lo = np.array(grp["lo"].iloc[0], dtype=float)
+        hi = np.array(grp["hi"].iloc[0], dtype=float)
+        expect = M.value_loss_given_bounds(
+            np.zeros((len(grp), len(lo))), hi, lo)
+        assert abs(vl_spark[gid] - expect) < 1e-6 * max(1, expect)
+
+
+def test_pattern_loss_runs(spark, tokens):
+    from kapra_spark.operators.metrics_ops import global_pattern_loss
+
+    anon = kp_anonymize(tokens, k=K, p=P, paa=PAA, l=L, algorithm="kapra")
+    row = global_pattern_loss(tokens, anon).collect()[0]
+    assert 0.0 <= row["avg_pattern_loss"] <= 1.0
+
+
+def test_l_diversity_guarantee(anon_kapra):
+    """after perturbation every P-subgroup's dominant sensitive value
+    has frequency <= 1/L (the reference enforces <= |PS_R|/l via
+    x_i perturbations; verify the resulting distribution)."""
+    grouped = anon_kapra[~anon_kapra["suppressed"]]
+    viol = 0
+    for (gid, sax), grp in grouped.groupby(["group_id", "sax"]):
+        vc = grp["as_perturbed"].value_counts()
+        if vc.iloc[0] / len(grp) > 1 / L:
+            viol += 1
+    # perturbation guarantees uniqueness of new values, so violations
+    # can only remain when a class was already dominant beyond repair;
+    # on this fixture none should remain
+    assert viol == 0
+
+
+def test_csv_compat_roundtrip(spark, tmp_path, tokens):
+    from kapra_spark.sources.csv_compat import (parse_envelope_strings,
+                                                read_wide_csv,
+                                                write_anonymized_csv)
+
+    anon = kp_anonymize(tokens, k=K, p=P, paa=PAA, l=L, algorithm="kapra")
+    out = str(tmp_path / "anon_csv")
+    write_anonymized_csv(anon, out)
+    back = spark.read.csv(out, header=True)
+    assert back.count() == N
+    parsed = parse_envelope_strings(
+        back.filter("envelopes IS NOT NULL")).select("doc_id", "lo", "hi").toPandas()
+    orig = anon.filter("NOT suppressed").select("doc_id", "lo", "hi").toPandas()
+    a = parsed.sort_values("doc_id").reset_index(drop=True)
+    b = orig.sort_values("doc_id").reset_index(drop=True)
+    for x, y in zip(a["lo"], b["lo"]):
+        assert list(x) == list(y)
+    for x, y in zip(a["hi"], b["hi"]):
+        assert list(x) == list(y)
+
+    # wide-CSV reader shape check against the reference's own dataset
+    wide = read_wide_csv(
+        spark, "/root/reference/data/sales_transactions_dataset_weekly.csv")
+    r = wide.limit(1).collect()[0]
+    assert len(r.tokens) == 52 and r.n_tok == 52

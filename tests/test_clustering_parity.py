@@ -145,9 +145,11 @@ def test_bottom_up_parity(values, p_value, k_value, paa, seed):
         [dict(g) for g in p_groups_ref], p_value, k_value, gl_ref)
 
     random.seed(seed)
-    gl_mine = C.bottom_up_kgroups(values, [list(g) for g in mine_tree.p_groups],
-                                  p_value, k_value, C.PyRandomSource())
+    gl_mine, unplaced = C.bottom_up_kgroups(
+        values, [list(g) for g in mine_tree.p_groups],
+        p_value, k_value, C.PyRandomSource())
 
+    assert unplaced == []
     assert [list(g.keys()) for g in gl_ref] == gl_mine
 
 
@@ -159,8 +161,8 @@ def test_l_diversity_parity(values, monkeypatch):
     p_value, k_value, paa, l_value = 4, 8, 4, 2
     tree = C.create_tree("kapra", values, list(range(len(values))), p_value, paa)
     random.seed(21)
-    k_groups = C.bottom_up_kgroups(values, [list(g) for g in tree.p_groups],
-                                   p_value, k_value, C.PyRandomSource())
+    k_groups, _ = C.bottom_up_kgroups(values, [list(g) for g in tree.p_groups],
+                                      p_value, k_value, C.PyRandomSource())
 
     # low-cardinality sensitive values force perturbation
     rng = np.random.default_rng(99)
