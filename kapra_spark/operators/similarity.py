@@ -1,0 +1,108 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`topk_cosine_bruteforce` — exact top-k: broadcast the (small)
+  query set against the corpus, JVM-side dot products via zip_with/
+  aggregate HOFs, per-query row_number window. The correctness
+  baseline; linear scan, embarrassingly parallel at 100 TB.
+- :func:`topk_cosine_lsh` — the scale path: random-hyperplane bucket
+  join with multi-probe (queries also probe neighboring buckets at
+  hamming distance 1), exact rerank inside candidate buckets. Shuffle
+  keys are bucket signatures, never all-pairs.
+- :func:`ann_recall` — recall@k of the approximate path vs brute force
+  (the quality metric a pipeline would monitor).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import dot_col
+
+
+def _norm(vec) -> F.Column:
+    return F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def topk_cosine_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k per query (queries broadcast)."""
+    c = (corpus.select(F.col(id_col).alias("corpus_id"),
+                       F.col(vec_col).alias("cvec"))
+         .withColumn("cnorm", _norm("cvec")))
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qvec"))
+         .withColumn("qnorm", _norm("qvec")))
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("corpus_id") != F.col("query_id"))
+              .withColumn("cosine",
+                          dot_col("cvec", "qvec")
+                          / (F.col("cnorm") * F.col("qnorm"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "cosine", "rank"))
+
+
+def _plane_sig(vec_col: str, planes: np.ndarray) -> F.Column:
+    dim = planes.shape[1]
+    bits = [
+        (dot_col(vec_col, F.array(*[F.lit(float(p[j])) for j in range(dim)]))
+         > 0).cast("long")
+        for p in planes]
+    sig = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        sig = sig + (b * F.lit(1 << i))
+    return sig
+
+
+def topk_cosine_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_planes: int = 8, seed: int = 7,
+                    multiprobe: bool = True) -> DataFrame:
+    """Approximate top-k: hyperplane-bucketed candidates + exact rerank.
+    With multiprobe, each query also probes all buckets at hamming
+    distance 1 (n_planes extra probes), trading candidates for recall."""
+    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    c = (corpus.select(F.col(id_col).alias("corpus_id"),
+                       F.col(vec_col).alias("cvec"))
+         .withColumn("cnorm", _norm("cvec"))
+         .withColumn("bucket", _plane_sig("cvec", planes)))
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qvec"))
+         .withColumn("qnorm", _norm("qvec"))
+         .withColumn("bucket0", _plane_sig("qvec", planes)))
+    if multiprobe:
+        probes = F.array(F.col("bucket0"),
+                         *[F.col("bucket0").bitwiseXOR(F.lit(1 << i))
+                           for i in range(n_planes)])
+        q = q.select("query_id", "qvec", "qnorm",
+                     F.explode(probes).alias("bucket"))
+    else:
+        q = q.withColumnRenamed("bucket0", "bucket")
+
+    scored = (c.join(F.broadcast(q), "bucket")
+              .filter(F.col("corpus_id") != F.col("query_id"))
+              .withColumn("cosine",
+                          dot_col("cvec", "qvec")
+                          / (F.col("cnorm") * F.col("qnorm"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
+    return (scored.dropDuplicates(["query_id", "corpus_id"])
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "cosine", "rank"))
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame) -> float:
+    """recall@k: |approx ∩ exact| / |exact| over (query, corpus) pairs."""
+    e = exact.select("query_id", "corpus_id")
+    a = approx.select("query_id", "corpus_id")
+    inter = e.intersect(a).count()
+    total = e.count()
+    return inter / total if total else 1.0

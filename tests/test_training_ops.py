@@ -1,0 +1,214 @@
+"""Training-data pipeline operators: dedup family, similarity search,
+text analysis, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    # plant exact + near duplicates with known ids
+    rows = base.limit(6).collect()
+    extra = []
+    for i, r in enumerate(rows[:3]):
+        extra.append((10_000 + i, r.text, r.lang, r.source, r.n_chars))          # exact dup
+    for i, r in enumerate(rows[3:6]):
+        extra.append((20_000 + i, r.text + " extra tail", r.lang, r.source,
+                      r.n_chars + 11))                                            # near dup
+    extra_df = spark.createDataFrame(extra, schema=base.schema)
+    return base.unionByName(extra_df).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(spark, docs):
+    from kapra_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(docs).toPandas()
+    dups = out[out["is_duplicate"]]
+    assert set(dups["doc_id"]) >= {10000, 10001, 10002}
+    for _, r in dups.iterrows():
+        assert r["keeper_id"] < r["doc_id"]
+    # near-dups (different text) are NOT exact dups
+    assert not dups["doc_id"].isin([20000, 20001, 20002]).any()
+
+
+def test_minhash_finds_planted_dups(spark, docs):
+    from kapra_spark.operators.dedup import (lsh_candidate_pairs,
+                                             minhash_signatures, shingle_df,
+                                             verify_jaccard)
+
+    sh = shingle_df(docs).cache()
+    sig = minhash_signatures(sh)
+    cand = lsh_candidate_pairs(sig)
+    verified = verify_jaccard(cand, sh, threshold=0.6).toPandas()
+    got = {(r.id_a, r.id_b): r.jaccard for r in verified.itertuples()}
+    # planted exact copies: id i cloned as 10000+i -> jaccard 1.0
+    for i in range(3):
+        assert got.get((i, 10000 + i)) == 1.0, (i, got.get((i, 10000 + i)))
+    # planted near dups (appended tail): high but < 1
+    for i in range(3):
+        j = got.get((3 + i, 20000 + i))
+        assert j is not None and 0.6 <= j < 1.0, (i, j)
+
+
+def test_jaccard_matches_python_oracle(spark, docs):
+    from kapra_spark.operators.dedup import (_char_shingle_hashes,
+                                             shingle_df, verify_jaccard)
+
+    pdf = docs.limit(4).toPandas()
+    sh = shingle_df(docs)
+    pairs = spark.createDataFrame(
+        [(int(pdf.doc_id[0]), int(pdf.doc_id[1])),
+         (int(pdf.doc_id[2]), int(pdf.doc_id[3]))], ["id_a", "id_b"])
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in verify_jaccard(pairs, sh, threshold=0.0).collect()}
+    for (ia, ib), j in got.items():
+        ta = pdf[pdf.doc_id == ia].text.iloc[0]
+        tb = pdf[pdf.doc_id == ib].text.iloc[0]
+        sa = set(_char_shingle_hashes(ta, 5).tolist())
+        sb = set(_char_shingle_hashes(tb, 5).tolist())
+        expect = len(sa & sb) / len(sa | sb)
+        assert abs(j - expect) < 1e-12
+
+
+def test_minhash_approximates_jaccard(spark, docs):
+    """MinHash signature agreement rate ~ true Jaccard (the estimator
+    property that makes LSH banding sound)."""
+    from kapra_spark.operators.dedup import (_char_shingle_hashes,
+                                             minhash_signatures, shingle_df)
+
+    sig = {r.doc_id: np.array(r.sig)
+           for r in minhash_signatures(shingle_df(docs), 128).collect()}
+    pdf = docs.toPandas().set_index("doc_id")
+    for a, b in [(3, 20000), (4, 20001), (5, 20002)]:
+        sa = set(_char_shingle_hashes(pdf.loc[a].text, 5).tolist())
+        sb = set(_char_shingle_hashes(pdf.loc[b].text, 5).tolist())
+        true_j = len(sa & sb) / len(sa | sb)
+        est = (sig[a] == sig[b]).mean()
+        assert abs(est - true_j) < 0.15
+
+
+def test_cluster_pairs(spark):
+    from kapra_spark.operators.dedup import cluster_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], ["id_a", "id_b"])
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 7, 9]], ["doc_id"])
+    lab = {r.doc_id: r.keeper_id for r in cluster_pairs(pairs, ids).collect()}
+    assert lab == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 9: 7}
+
+
+def test_simhash(spark, docs):
+    from kapra_spark.operators.dedup import (shingle_df, simhash_near_dups,
+                                             simhash_signatures)
+
+    sh = shingle_df(docs)
+    sim = simhash_signatures(sh)
+    dups = simhash_near_dups(sim, max_hamming=3).toPandas()
+    got = {(r.id_a, r.id_b): r.hamming for r in dups.itertuples()}
+    for i in range(3):  # planted exact copies -> identical simhash
+        assert got.get((i, 10000 + i)) == 0, (i, got.get((i, 10000 + i)))
+
+
+def test_embedding_near_dups(spark, emb):
+    from kapra_spark.operators.dedup import embedding_near_dups
+
+    base = emb.limit(50)
+    clones = (base.limit(3)
+              .select((F.col("vec_id") + 90000).alias("vec_id"),
+                      "embedding", "label"))
+    df = base.unionByName(clones)
+    out = embedding_near_dups(df, threshold=0.999).toPandas()
+    found = set(out["id_b"])
+    assert {90000, 90001, 90002} <= found
+
+
+def test_topk_bruteforce_vs_numpy(spark, emb):
+    from kapra_spark.operators.similarity import topk_cosine_bruteforce
+
+    queries = emb.limit(3)
+    got = topk_cosine_bruteforce(emb, queries, k=5).toPandas()
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy())
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    for q in queries.collect():
+        qi = np.nonzero(ids == q.vec_id)[0][0]
+        cos = mat @ mat[qi]
+        cos[qi] = -np.inf
+        expect = ids[np.argsort(-cos)[:5]]
+        mine = got[got["query_id"] == q.vec_id].sort_values("rank")["corpus_id"]
+        assert list(mine) == list(expect)
+
+
+def test_lsh_topk_recall(spark, emb):
+    from kapra_spark.operators.similarity import (ann_recall,
+                                                  topk_cosine_bruteforce,
+                                                  topk_cosine_lsh)
+
+    queries = emb.limit(5)
+    exact = topk_cosine_bruteforce(emb, queries, k=10).cache()
+    # these embeddings are near-unstructured (top-1 same-label rate
+    # ~7%), so recall tracks the scanned fraction; 3 planes +
+    # multiprobe scans ~half the corpus
+    r3 = ann_recall(exact, topk_cosine_lsh(emb, queries, k=10, n_planes=3))
+    r5 = ann_recall(exact, topk_cosine_lsh(emb, queries, k=10, n_planes=5))
+    assert r3 >= 0.6, r3
+    assert r3 > r5  # fewer planes -> more candidates -> higher recall
+
+
+def test_textops(spark, docs):
+    from kapra_spark.operators.textops import (detect_language, fingerprint,
+                                               quality_features, token_count)
+
+    out = token_count(docs.limit(20)).toPandas()
+    for _, r in out.iterrows():
+        assert r["n_tokens"] == len(r["text"].split())
+
+    q = quality_features(docs.limit(20)).toPandas()
+    assert ((q["quality_score"] >= 0) & (q["quality_score"] <= 1)).all()
+    assert ((q["stopword_ratio"] >= 0) & (q["stopword_ratio"] <= 1)).all()
+
+    lang = detect_language(spark.createDataFrame(
+        [("the cat is in the house and it was good",),
+         ("el perro es de la casa y en un día",),
+         ("zzz qqq xxx",)], ["text"])).toPandas()
+    assert lang["lang_detected"].tolist() == ["en", "es", "und"]
+
+    fp = fingerprint(spark.createDataFrame(
+        [("Hello,  World!",), ("hello world",), ("different",)],
+        ["text"])).toPandas()
+    assert fp["fp_md5"][0] == fp["fp_md5"][1] != fp["fp_md5"][2]
+
+
+def test_multimodal_plumbing(spark):
+    from kapra_spark.operators.multimodal import (extract_features,
+                                                  fake_media_df,
+                                                  sample_frames, stub_decoder)
+
+    media = fake_media_df(spark, 30).cache()
+    feats = extract_features(media).toPandas()
+    assert len(feats) == 30
+    assert all(len(f) == 8 for f in feats["feature"])
+    # deterministic: same payload -> same feature
+    again = extract_features(media).toPandas().sort_values("media_id")
+    a = feats.sort_values("media_id").reset_index(drop=True)
+    for x, y in zip(a["feature"], again.reset_index(drop=True)["feature"]):
+        assert np.allclose(x, y)
+
+    frames = sample_frames(media, every_ms=10000).toPandas()
+    vids = media.filter("kind = 'video'").toPandas()
+    expect = sum(v // 10000 + 1 for v in vids["duration_ms"])
+    assert len(frames) == expect
+
+    with pytest.raises(NotImplementedError):
+        stub_decoder(b"xx", "hologram")
