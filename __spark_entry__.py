@@ -226,6 +226,152 @@ def q_max_by_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline queries (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: min-id keeper per normalized-text hash."""
+    from kapra_spark.operators.dedup import exact_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return (exact_dedup(docs)
+            .select("doc_id", "keeper_id", "is_duplicate"))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kapra_spark.operators.textops import token_count
+
+    return (token_count(_read(spark, sf_dir, "documents"))
+            .select("doc_id", "n_tokens"))
+
+
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kapra_spark.operators.textops import quality_features
+
+    df = quality_features(_read(spark, sf_dir, "documents"))
+    return df.select("doc_id", F.col("n_chars_q").alias("n_chars_m"),
+                     "n_tokens",
+                     _r4("punct_ratio").alias("punct_ratio"),
+                     _r4("digit_ratio").alias("digit_ratio"),
+                     _r4("stopword_ratio").alias("stopword_ratio"))
+
+
+def q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kapra_spark.operators.textops import detect_language
+
+    return (detect_language(_read(spark, sf_dir, "documents"))
+            .select("doc_id", "lang_detected"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kapra_spark.operators.textops import fingerprint
+
+    return (fingerprint(_read(spark, sf_dir, "documents"))
+            .groupBy("fp_md5").agg(F.count("*").alias("cnt"),
+                                   F.min("doc_id").alias("min_doc")))
+
+
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 3 vectors (O2-style
+    extremum search over an embedding column)."""
+    from kapra_spark.operators.similarity import topk_cosine_bruteforce
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = topk_cosine_bruteforce(emb, queries, k=5)
+    return out.select("query_id", "corpus_id", "rank",
+                      F.round("cosine", 3).alias("cosine"))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs among the first 100 vectors."""
+    from kapra_spark.operators.dedup import dot_col
+
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    norm = F.sqrt(F.aggregate(F.transform("embedding", lambda x: x * x),
+                              F.lit(0.0), lambda a, x: a + x))
+    e = emb.select(F.col("vec_id").alias("id"), "embedding",
+                   norm.alias("nrm"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = (dot_col(F.col("a.embedding"), F.col("b.embedding"))
+           / (F.col("a.nrm") * F.col("b.nrm")))
+    return (a.join(b, F.col("a.id") < F.col("b.id"))
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= 0.2137)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.round("cosine", 3).alias("cosine")))
+
+
+# --- rows-only checks (non-SQL-expressible: clustering, LSH, Gorilla) ---
+
+def q_kp_anonymize_kapra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kapra_spark import datagen
+    from kapra_spark.operators.grouping import kp_anonymize
+
+    pdf = datagen.tokens_pdf(200, n_tok=13, seed=11, gap_fraction=0.0)
+    tokens = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+    return (kp_anonymize(tokens, k=8, p=4, paa=4, l=2, algorithm="kapra")
+            .select("doc_id", "group_id", "sax", "as_perturbed", "suppressed"))
+
+
+def q_kp_anonymize_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kapra_spark import datagen
+    from kapra_spark.operators.grouping import kp_anonymize
+
+    pdf = datagen.tokens_pdf(200, n_tok=13, seed=11, gap_fraction=0.0)
+    tokens = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+    return (kp_anonymize(tokens, k=8, p=4, paa=4, l=2, algorithm="naive")
+            .select("doc_id", "group_id", "sax", "as_perturbed", "suppressed"))
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kapra_spark.operators.dedup import (lsh_candidate_pairs,
+                                             minhash_signatures, shingle_df,
+                                             verify_jaccard)
+
+    docs = _read(spark, sf_dir, "documents")
+    sh = shingle_df(docs)
+    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    return (verify_jaccard(cand, sh, threshold=0.8)
+            .select("id_a", "id_b", F.round("jaccard", 3).alias("jaccard")))
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kapra_spark.operators.dedup import (shingle_df, simhash_near_dups,
+                                             simhash_signatures)
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_dups(simhash_signatures(shingle_df(docs)), 3)
+
+
+def q_tokens_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kapra_spark import datagen
+    from kapra_spark.operators.rollup import cascade_fast
+
+    pdf = datagen.tokens_pdf(300, n_tok=144, seed=42)
+    tokens = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+    return cascade_fast(tokens, tiers=("1h",))
+
+
+def q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying: compress + decompress 300 deterministic series
+    and report (n_rows, n_token_mismatches) — the DuckDB oracle is the
+    constant (300, 0), i.e. token-array equality."""
+    from kapra_spark import datagen
+    from kapra_spark.operators.compress import (compress_tokens,
+                                                decompress_tokens)
+
+    pdf = datagen.tokens_pdf(300, n_tok=144, seed=42)
+    tokens = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+    back = decompress_tokens(compress_tokens(tokens))
+    j = (tokens.select("doc_id", F.col("tokens").alias("orig"))
+         .join(back.select("doc_id", F.col("tokens").alias("rt")), "doc_id"))
+    return j.agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("orig") != F.col("rt")).cast("long")).alias("n_token_mismatches"))
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -254,6 +400,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "union_suppressed": q_union_suppressed,
         "max_by_argmax": q_max_by_argmax,
+        # training-data pipeline operators
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality_features": q_quality_features,
+        "lang_detect": q_lang_detect,
+        "fingerprint": q_fingerprint,
+        "topk_cosine": q_topk_cosine,
+        "embedding_neardup": q_embedding_neardup,
+        # non-SQL-expressible (rows-only driver check + pytest goldens)
+        "kp_anonymize_kapra": q_kp_anonymize_kapra,
+        "kp_anonymize_naive": q_kp_anonymize_naive,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "tokens_rollup_1h": q_tokens_rollup_1h,
+        "gorilla_roundtrip": q_gorilla_roundtrip,
     }
 
 
@@ -388,5 +549,99 @@ def oracle_sql() -> dict[str, str]:
                    arg_min(event_id, value) AS argmin_event,
                    round(min(value), 4) AS min_value
             FROM events GROUP BY 1
+        """,
+        "dedup_exact": """
+            WITH h AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS hh
+              FROM documents
+            ), k AS (SELECT hh, min(doc_id) AS keeper_id FROM h GROUP BY 1)
+            SELECT h.doc_id, k.keeper_id,
+                   h.doc_id <> k.keeper_id AS is_duplicate
+            FROM h JOIN k USING (hh)
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+        """,
+        "quality_features": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     length(text) AS n_chars_m,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM documents
+            )
+            SELECT doc_id, n_chars_m, len(toks) AS n_tokens,
+                   round((n_chars_m - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                         / greatest(n_chars_m, 1), 4) AS punct_ratio,
+                   round((n_chars_m - length(regexp_replace(text, '[0-9]', '', 'g')))
+                         / greatest(n_chars_m, 1), 4) AS digit_ratio,
+                   round(len(list_filter(toks, x -> list_contains(
+                       ['the','and','of','to','in','is','it','that','was','for'], x)))
+                         / greatest(len(toks), 1), 4) AS stopword_ratio
+            FROM t
+        """,
+        "lang_detect": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, greatest(len(toks), 1) AS n,
+                len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','it','that','was','for'], x))) AS h_en,
+                len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','una','los','por'], x))) AS h_es,
+                len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','von','mit','den','ein','zu'], x))) AS h_de,
+                len(list_filter(toks, x -> list_contains(['le','la','les','de','et','un','une','est','que','pour'], x))) AS h_fr,
+                len(list_filter(toks, x -> list_contains(['il','la','di','che','e','un','una','per','con','del'], x))) AS h_it
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE
+                     WHEN greatest(h_en, h_es, h_de, h_fr, h_it) = 0 THEN 'und'
+                     WHEN h_it >= greatest(h_de, h_en, h_es, h_fr) THEN 'it'
+                     WHEN h_fr >= greatest(h_de, h_en, h_es) THEN 'fr'
+                     WHEN h_es >= greatest(h_de, h_en) THEN 'es'
+                     WHEN h_en >= h_de THEN 'en'
+                     ELSE 'de'
+                   END AS lang_detected
+            FROM s
+        """,
+        "fingerprint": """
+            WITH f AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp_md5
+              FROM documents
+            )
+            SELECT fp_md5, count(*) AS cnt, min(doc_id) AS min_doc
+            FROM f GROUP BY 1
+        """,
+        "topk_cosine": """
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                     list_sum(list_transform(list_zip(c.embedding, q.embedding), z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE))) * sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+              FROM embeddings c
+              JOIN embeddings q ON q.vec_id < 3 AND c.vec_id <> q.vec_id
+            ), ranked AS (
+              SELECT query_id, corpus_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, corpus_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, corpus_id, rank, round(cos, 3) AS cosine
+            FROM ranked WHERE rank <= 5
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_sum(list_transform(list_zip(a.embedding, b.embedding), z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 3) AS cosine
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 100 AND b.vec_id < 100
+              AND list_sum(list_transform(list_zip(a.embedding, b.embedding), z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) >= 0.2137
+        """,
+        "gorilla_roundtrip": """
+            SELECT CAST(300 AS BIGINT) AS n_rows,
+                   CAST(0 AS BIGINT) AS n_token_mismatches
         """,
     }
