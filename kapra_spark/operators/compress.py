@@ -109,20 +109,32 @@ def compress_tokens(tokens_df: DataFrame, tier: str = "1m") -> DataFrame:
     return tokens_df.mapInArrow(fn, BLOCKS_SCHEMA)
 
 
+DECOMP_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("tokens", T.ArrayType(T.IntegerType()), False),
+    T.StructField("n_tok", T.IntegerType(), False),
+    T.StructField("source", T.StringType(), False),
+    T.StructField("t0", T.LongType(), False),
+])
+
+_DECOMP_ARROW = pa.schema(list(TOKENS_ARROW) + [pa.field("t0", pa.int64())])
+
+
 def decompress_tokens(blocks_df: DataFrame) -> DataFrame:
-    """Gorilla blocks -> tokens table (exact inverse for single-day
-    series; multi-day series come back as one row per day-block, join
-    on doc_id + sort by t0 to reassemble)."""
-    from kapra_spark.datagen import TOKENS_SCHEMA
+    """Gorilla blocks -> tokens rows, one per day-block, carrying the
+    block start timestamp ``t0`` (sort by it to reassemble multi-day
+    series). Columns are resolved by NAME: a partitioned read-back
+    moves partition columns to the end."""
 
     def fn(batches):
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            t0 = rb.column(4).to_numpy()
-            v0 = rb.column(5).to_numpy()
-            n = rb.column(6).to_numpy().astype(np.int64)
-            payloads = rb.column(7).to_pylist()
+            col = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+            t0 = col["t0"].to_numpy(zero_copy_only=False)
+            v0 = col["v0"].to_numpy(zero_copy_only=False)
+            n = col["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            payloads = col["payload"].to_pylist()
             toks_out = []
             order = []
             for nt in np.unique(n):
@@ -137,12 +149,19 @@ def decompress_tokens(blocks_df: DataFrame) -> DataFrame:
                 [row for block in toks_out for row in block],
                 type=pa.list_(pa.int32()))
             yield pa.RecordBatch.from_arrays([
-                rb.column(0).take(inv),
+                _as_array(col["doc_id"]).take(inv),
                 flat_lists,
-                pa.array(np.concatenate([np.full(len(i), nt, dtype=np.int32)
-                                         for nt, i in zip(np.unique(n), order)]),
-                         type=pa.int32()),
-                rb.column(1).take(inv),
-            ], schema=TOKENS_ARROW)
+                pa.array(n[order_all].astype(np.int32), type=pa.int32()),
+                _as_array(col["source"]).take(inv),
+                pa.array(t0[order_all], type=pa.int64()),
+            ], schema=_DECOMP_ARROW)
 
-    return blocks_df.mapInArrow(fn, TOKENS_SCHEMA)
+    return blocks_df.mapInArrow(fn, DECOMP_SCHEMA)
+
+
+def _as_array(col):
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_dictionary(col.type):
+        col = col.dictionary_decode()
+    return col.cast(pa.string())

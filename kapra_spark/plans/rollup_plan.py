@@ -1,0 +1,58 @@
+"""End-to-end rollup + downsample + retention pipeline with resumable
+lineage-tracked writes — the engine's flagship plan (BASELINE.json
+north_rule).
+
+    tokens (doc_id, tokens, n_tok, source)
+      ├─ 1m tier  -> Gorilla blocks  (compress.py, zero shuffle)
+      ├─ 1h tier  -> rows            (cascade_fast, zero shuffle)
+      └─ 1d tier  -> rows
+    each written partitioned by (source, day) through
+    lineage.write_with_lineage: a killed run resumes from committed
+    partitions, re-writes are idempotent, checksums certify equality.
+
+All stages read the SAME tokens scan once (Spark caches nothing here on
+purpose — at 100 TB you want three linear scans over columnar input,
+not a 100 TB cache).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.compress import compress_tokens
+from ..operators.lineage import write_with_lineage
+from ..operators.rollup import DEFAULT_RETENTION, apply_retention, cascade_fast
+
+
+def run_rollup_pipeline(
+    spark: SparkSession,
+    tokens: DataFrame,
+    base_path: str,
+    run_id: str,
+    now_bucket_seconds: int | None = None,
+    retention: dict | None = None,
+    resume: bool = True,
+) -> dict:
+    """Returns per-stage write stats. ``now_bucket_seconds`` pins the
+    retention horizon (explicit for determinism/resume)."""
+    stats = {}
+    lineage_path = f"{base_path}/_lineage"
+
+    blocks = (compress_tokens(tokens)
+              .withColumnRenamed("bucket_day", "day"))
+    stats["blocks_1m"] = write_with_lineage(
+        blocks, f"{base_path}/blocks_1m", ["source", "day"],
+        lineage_path, run_id, "blocks_1m", resume=resume)
+
+    tiers = cascade_fast(tokens, tiers=("1h", "1d"))
+    for tier in ("1h", "1d"):
+        t = (tiers.filter(F.col("tier") == tier).drop("tier")
+             .withColumn("day", F.to_date(F.timestamp_seconds(F.col("bucket")))))
+        if now_bucket_seconds is not None:
+            t = apply_retention(t, tier, now_bucket_seconds,
+                                retention or DEFAULT_RETENTION)
+        stats[f"tier_{tier}"] = write_with_lineage(
+            t, f"{base_path}/tier_{tier}", ["source", "day"],
+            lineage_path, run_id, f"tier_{tier}", resume=resume)
+    return stats

@@ -59,27 +59,10 @@ def test_spark_roundtrip_token_array_equality(spark, n_tok):
 
     orig = {r.doc_id: list(r.tokens) for r in pdf.itertuples()}
     got: dict[str, list] = {}
-    # multi-day series come back day-block by day-block; reassemble
-    bl = blocks.toPandas()
-    order = {(r.doc_id, r.t0): i for i, r in enumerate(bl.itertuples())}
-    for doc_id, grp in back.assign(_k=back["doc_id"]).groupby("_k"):
-        pieces = list(grp["tokens"])
-        if len(pieces) == 1:
-            got[doc_id] = list(pieces[0])
-        else:
-            metas = bl[bl["doc_id"] == doc_id].sort_values("t0")
-            joined = []
-            rows = {len(p): p for p in pieces}
-            # reassemble in t0 order by matching block sizes
-            seq = []
-            rem = [list(p) for p in pieces]
-            for _, m in metas.iterrows():
-                for j, p in enumerate(rem):
-                    if len(p) == m["n"]:
-                        seq.extend(p)
-                        rem.pop(j)
-                        break
-            got[doc_id] = seq
+    # multi-day series come back day-block by day-block; reassemble in
+    # t0 order (decompress_tokens carries the block start timestamp)
+    for r in back.sort_values(["doc_id", "t0"]).itertuples():
+        got.setdefault(r.doc_id, []).extend(r.tokens)
     for k, v in orig.items():
         assert got[k] == v, k
 

@@ -1,0 +1,75 @@
+"""Flagship pipeline: end-to-end run, kill/resume, retention, and
+decompressed-1m == raw-tokens equality."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from kapra_spark import datagen
+from kapra_spark.plans.rollup_plan import run_rollup_pipeline
+
+
+@pytest.fixture(scope="module")
+def tokens(spark):
+    pdf = datagen.tokens_pdf(60, n_tok=1440 * 2, seed=9, gap_fraction=0.1)
+    return spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA).cache()
+
+
+def test_pipeline_end_to_end_and_resume(spark, tokens, tmp_path):
+    base = str(tmp_path / "pipe")
+    s1 = run_rollup_pipeline(spark, tokens, base, run_id="r1")
+    assert all(v["written_partitions"] > 0 for v in s1.values())
+
+    # rerun = full resume: nothing rewritten
+    s2 = run_rollup_pipeline(spark, tokens, base, run_id="r2")
+    assert all(v["written_partitions"] == 0 for v in s2.values())
+    assert all(v["skipped_partitions"] == s1[k]["written_partitions"]
+               for k, v in s2.items())
+
+    # 1h tier contents match a fresh computation
+    from kapra_spark.operators.rollup import cascade_fast
+
+    stored = spark.read.parquet(f"{base}/tier_1h")
+    fresh = cascade_fast(tokens, tiers=("1h",)).drop("tier")
+    assert stored.count() == fresh.count()
+    a = stored.groupBy("source").agg(F.sum("sum").alias("s")).collect()
+    b = fresh.groupBy("source").agg(F.sum("sum").alias("s")).collect()
+    assert {r["source"]: r["s"] for r in a} == {r["source"]: r["s"] for r in b}
+
+
+def test_pipeline_decompress_equals_input(spark, tokens, tmp_path):
+    from kapra_spark.operators.compress import decompress_tokens
+
+    base = str(tmp_path / "pipe2")
+    run_rollup_pipeline(spark, tokens, base, run_id="r1")
+    blocks = (spark.read.parquet(f"{base}/blocks_1m")
+              .withColumnRenamed("day", "bucket_day"))
+    back = decompress_tokens(blocks)
+    # day-blocks: reassemble per doc in t0 order (2 days -> 2 blocks)
+    orig = {r.doc_id: list(r.tokens) for r in tokens.collect()}
+    got: dict[str, list] = {}
+    for r in sorted(back.collect(), key=lambda r: (r.doc_id, r.t0)):
+        got.setdefault(r.doc_id, []).extend(r.tokens)
+    for k, v in orig.items():
+        assert got[k] == v, k
+
+
+def test_pipeline_retention(spark, tokens, tmp_path):
+    from kapra_spark.operators.rollup import EPOCH_SECONDS
+
+    base = str(tmp_path / "pipe3")
+    # "now" = 10 days after epoch; 1h keeps 90 days -> all kept;
+    # shrink 1h retention to 1 day to see expiry
+    stats = run_rollup_pipeline(
+        spark, tokens, base, run_id="r1",
+        now_bucket_seconds=EPOCH_SECONDS + 10 * 86400,
+        retention={"1m": None, "1h": 24, "1d": None})
+    # tokens span days 1-2 after epoch, all earlier than the 1-day
+    # horizon: everything expired -> no 1h partitions even exist
+    assert stats["tier_1h"]["written_partitions"] == 0
+    import os
+
+    assert not os.path.exists(f"{base}/tier_1h") \
+        or spark.read.parquet(f"{base}/tier_1h").count() == 0
+    # 1d tier (retention None = keep forever) still written
+    assert stats["tier_1d"]["written_partitions"] > 0
