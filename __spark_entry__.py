@@ -344,6 +344,52 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(simhash_signatures(shingle_df(docs)), 3)
 
 
+def q_asof_join_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY.md §2.3 J-list): each event picks up the most
+    recent "checkpoint" (sparse hourly rollup buckets with cnt >= 5) at
+    or before its timestamp. Union+window plan — one shuffle, no
+    nested-loop join."""
+    from kapra_spark.operators.joins import asof_join
+    from kapra_spark.operators.rollup import events_rollup
+
+    ev = _read(spark, sf_dir, "events")
+    cp = (events_rollup(ev, 3600)
+          .filter(F.col("cnt") >= 5)
+          .select(F.col("series").alias("event_type"),
+                  F.col("bucket").alias("cp_bucket"),
+                  F.timestamp_seconds("bucket").alias("cp_ts"),
+                  F.col("sum").alias("cp_sum")))
+    j = asof_join(ev.select("event_id", "event_type", "ts"), cp,
+                  by="event_type", left_ts="ts", right_ts="cp_ts")
+    return j.select("event_id", "event_type",
+                    F.col("r_cp_bucket").alias("cp_bucket"),
+                    _r4("r_cp_sum").alias("cp_sum"))
+
+
+def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (point-in-interval) join: per-type event counts inside two
+    deterministic maintenance windows derived from the data's min day.
+    Interval side is broadcast (it is always tiny)."""
+    from kapra_spark.operators.joins import range_join
+
+    ev = _read(spark, sf_dir, "events")
+    d0 = ev.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    wins = d0.select(F.explode(F.array(
+        F.struct(F.lit("w1").alias("win"),
+                 F.expr("d0 + INTERVAL 2 DAYS").alias("start_ts"),
+                 F.expr("d0 + INTERVAL 4 DAYS").alias("end_ts")),
+        F.struct(F.lit("w2").alias("win"),
+                 F.expr("d0 + INTERVAL 11 DAYS").alias("start_ts"),
+                 F.expr("d0 + INTERVAL 13 DAYS").alias("end_ts")),
+    )).alias("w")).select("w.*")
+    intervals = (ev.select("event_type").distinct()
+                 .crossJoin(F.broadcast(wins)))
+    j = range_join(ev.select("event_type", "ts", "value"), intervals,
+                   by="event_type")
+    return (j.groupBy("event_type", "win")
+            .agg(F.count("*").alias("cnt"), _r4(F.sum("value")).alias("sum_v")))
+
+
 def q_tokens_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kapra_spark import datagen
     from kapra_spark.operators.rollup import cascade_fast
@@ -400,6 +446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "union_suppressed": q_union_suppressed,
         "max_by_argmax": q_max_by_argmax,
+        "asof_join_checkpoints": q_asof_join_checkpoints,
+        "range_join_windows": q_range_join_windows,
         # training-data pipeline operators
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -549,6 +597,35 @@ def oracle_sql() -> dict[str, str]:
                    arg_min(event_id, value) AS argmin_event,
                    round(min(value), 4) AS min_value
             FROM events GROUP BY 1
+        """,
+        "asof_join_checkpoints": """
+            WITH cp AS (
+              SELECT event_type,
+                     (floor(epoch(ts))::BIGINT // 3600) * 3600 AS cp_bucket,
+                     sum(value) AS cp_sum
+              FROM events GROUP BY 1, 2
+              HAVING count(value) >= 5
+            )
+            SELECT e.event_id, e.event_type,
+                   cp.cp_bucket, round(cp.cp_sum, 4) AS cp_sum
+            FROM events e
+            ASOF JOIN cp
+              ON e.event_type = cp.event_type
+             AND epoch(e.ts) >= cp.cp_bucket
+        """,
+        "range_join_windows": """
+            WITH d AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events),
+            wins AS (
+              SELECT 'w1' AS win, d0 + INTERVAL 2 DAY AS s,
+                     d0 + INTERVAL 4 DAY AS e FROM d
+              UNION ALL
+              SELECT 'w2', d0 + INTERVAL 11 DAY, d0 + INTERVAL 13 DAY FROM d
+            )
+            SELECT ev.event_type, w.win,
+                   count(*) AS cnt, round(sum(ev.value), 4) AS sum_v
+            FROM events ev JOIN wins w
+              ON ev.ts >= w.s AND ev.ts < w.e
+            GROUP BY 1, 2
         """,
         "dedup_exact": """
             WITH h AS (

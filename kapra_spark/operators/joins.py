@@ -1,0 +1,119 @@
+"""As-of and range joins (SURVEY.md §2.3 — the engine's public join
+surface for LOCF-style correlation; absent in the reference, whose only
+joins are dict lookups on series id, reference includes/common.py:452-457).
+
+``asof_join`` is the scalable union+window formulation, NOT a
+sort-merge-with-inequality hack:
+
+- tag both sides, union, ONE shuffle on the ``by`` keys;
+- a running ``last(right_payload, ignoreNulls)`` over
+  (by, ts, side-priority) gives every left row the most recent right
+  row with ``right.ts <= left.ts`` (ties match, like DuckDB/pandas
+  ASOF);
+- no O(n_left * n_right) join condition anywhere, so Catalyst never
+  falls back to broadcast-nested-loop. At 100 TB this is a single
+  re-partition + per-partition sort — the same shape as the rollup
+  cascade, and AQE handles stragglers.
+
+``range_join`` (point-in-interval) is a plain equi+range join with an
+explicit broadcast hint for the (always small) interval side —
+Catalyst turns it into BroadcastHashJoin on the equi key with the
+range as a post-filter, which is the right plan when intervals fit in
+memory; for giant interval tables, bucket both sides on ``by`` first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str] | str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    how: str = "inner",
+    tolerance_seconds: int | None = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` within the same ``by`` group (backward
+    as-of; ties match). ``how='left'`` keeps unmatched left rows with
+    NULL right columns. Right's non-key columns come back prefixed.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    r_payload = [c for c in right.columns if c not in by]
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    for name, df, col in (("left", left, left_ts), ("right", right, right_ts)):
+        if col not in df.columns:
+            raise ValueError(
+                f"asof_join: {name} timestamp column {col!r} not in {name} "
+                f"columns {df.columns}")
+        missing = [k for k in by if k not in df.columns]
+        if missing:
+            raise ValueError(f"asof_join: by keys {missing} not in {name} "
+                             f"columns {df.columns}")
+
+    rpay_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in r_payload])
+    l_tagged = (left
+                .withColumn("_t", F.col(left_ts).cast("timestamp"))
+                .withColumn("_side", F.lit(1))
+                .withColumn("_rpay", F.lit(None).cast(rpay_type)))
+    r_tagged = (right
+                .withColumn("_t", F.col(right_ts).cast("timestamp"))
+                .withColumn("_side", F.lit(0))
+                .withColumn("_rpay", F.struct(*[F.col(c) for c in r_payload]))
+                .select(*by, "_t", "_side", "_rpay",
+                        *[F.lit(None).cast(f.dataType).alias(f.name)
+                          for f in left.schema.fields if f.name not in by]))
+
+    unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
+
+    w = (Window.partitionBy(*by).orderBy("_t", "_side")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    matched = (unioned
+               .withColumn("_m", F.last("_rpay", ignorenulls=True).over(w))
+               .filter(F.col("_side") == 1))
+    if tolerance_seconds is not None:
+        in_tol = (F.unix_timestamp("_t")
+                  - F.unix_timestamp(F.col("_m")[right_ts])) <= tolerance_seconds
+        matched = matched.withColumn(
+            "_m", F.when(F.col("_m").isNotNull() & in_tol, F.col("_m")))
+    if how == "inner":
+        matched = matched.filter(F.col("_m").isNotNull())
+    out_cols = ([F.col(c) for c in left.columns]
+                + [F.col("_m")[c].alias(f"{right_prefix}{c}") for c in r_payload])
+    return matched.select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str] | str,
+    left_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    how: str = "inner",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Join each left row to the interval rows [start, end) that
+    contain its timestamp, matching on the ``by`` keys."""
+    by = [by] if isinstance(by, str) else list(by)
+    r = F.broadcast(right) if broadcast_right else right
+    cond = None
+    for k in by:
+        c = left[k] == right[k]
+        cond = c if cond is None else cond & c
+    cond = (cond
+            & (left[left_ts] >= right[start_col])
+            & (left[left_ts] < right[end_col]))
+    joined = left.join(r, cond, how)
+    keep = ([left[c] for c in left.columns]
+            + [right[c] for c in right.columns
+               if c not in by])
+    return joined.select(*keep)
