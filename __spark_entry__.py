@@ -344,6 +344,43 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(simhash_signatures(shingle_df(docs)), 3)
 
 
+def q_envelope_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: envelope string rendering "[lo|hi]" — the reference's CSV
+    output format (anonymized_dataset.py:35), kept as a format-at-sink
+    operation over native min/max aggregates."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.format_string(
+                "[%s|%s]",
+                F.min("l_quantity").cast("bigint").cast("string"),
+                F.max("l_quantity").cast("bigint").cast("string"))
+                .alias("qty_envelope")))
+
+
+def q_sax_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F3: znorm -> PAA -> SAX over the synthetic tokens table via
+    the vendored saxpy-exact kernels (rows-only check; bit-exactness
+    vs the reference artifact is pinned in tests/test_sax.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from kapra_spark import datagen
+    from kapra_spark.functions import sax as S
+
+    pdf = datagen.tokens_pdf(300, n_tok=144, seed=42)
+    tokens = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+
+    def fn(it):
+        for b in it:
+            vals = np.stack(b["tokens"].to_numpy())
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "sax": S.sax2d(vals.astype(np.float64), 6, 5),
+            })
+
+    return tokens.mapInPandas(fn, "doc_id string, sax string").orderBy("doc_id")
+
+
 def q_asof_join_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (SURVEY.md §2.3 J-list): each event picks up the most
     recent "checkpoint" (sparse hourly rollup buckets with cnt >= 5) at
@@ -448,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_by_argmax": q_max_by_argmax,
         "asof_join_checkpoints": q_asof_join_checkpoints,
         "range_join_windows": q_range_join_windows,
+        "envelope_render": q_envelope_render,
         # training-data pipeline operators
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -463,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "tokens_rollup_1h": q_tokens_rollup_1h,
         "gorilla_roundtrip": q_gorilla_roundtrip,
+        "sax_encode": q_sax_encode,
     }
 
 
@@ -612,6 +651,12 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN cp
               ON e.event_type = cp.event_type
              AND epoch(e.ts) >= cp.cp_bucket
+        """,
+        "envelope_render": """
+            SELECT l_returnflag, l_linestatus,
+                   format('[{}|{}]', min(l_quantity)::BIGINT::VARCHAR,
+                          max(l_quantity)::BIGINT::VARCHAR) AS qty_envelope
+            FROM lineitem GROUP BY 1, 2
         """,
         "range_join_windows": """
             WITH d AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events),
