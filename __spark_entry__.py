@@ -324,6 +324,21 @@ def q_kp_anonymize_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "group_id", "sax", "as_perturbed", "suppressed"))
 
 
+def q_pattern_loss_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/F4: global pattern loss of a kapra run over the synthetic
+    tokens table (rows-only: SAX reconstruction uses the reference's
+    seeded empirical medians, not SQL-expressible; formula parity is
+    pinned in tests/test_anonymize.py / tests/test_clustering_parity.py)."""
+    from kapra_spark import datagen
+    from kapra_spark.operators.grouping import kp_anonymize
+    from kapra_spark.operators.metrics_ops import global_pattern_loss
+
+    pdf = datagen.tokens_pdf(200, n_tok=13, seed=11, gap_fraction=0.0)
+    tokens = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+    anon = kp_anonymize(tokens, k=8, p=4, paa=4, l=2, algorithm="kapra")
+    return global_pattern_loss(tokens, anon)
+
+
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kapra_spark.operators.dedup import (lsh_candidate_pairs,
                                              minhash_signatures, shingle_df,
@@ -502,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_rollup_1h": q_tokens_rollup_1h,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "sax_encode": q_sax_encode,
+        "pattern_loss_global": q_pattern_loss_global,
     }
 
 

@@ -16,7 +16,7 @@ Scale design (the part that matters at 10^12 sequences):
   same keys, so Catalyst inserts no further Exchange (verified by
   tests/test_rollup.py::test_single_shuffle_plan).
 - The tokens fast path never explodes to long form at all: one
-  ``mapInPandas`` pass reshapes each Arrow batch in NumPy and emits
+  ``mapInArrow`` pass reshapes each Arrow batch in NumPy and emits
   per-tier buckets directly — zero shuffles, linear scan, exact
   integer arithmetic (token-array equality is preserved end-to-end).
 - first/last use min_by/max_by on the bucket/position, not
