@@ -119,15 +119,15 @@ def main() -> None:
         total_points / timings["tokens_compress_plus_rollup"], 1)
 
     # q3/q4: events rollup + gap-fill on driver testdata
-    timed("events_rollup_1h", lambda: E.q_rollup_1h_events(spark, sf_dir).count())
-    timed("events_gapfill_locf", lambda: E.q_gapfill_locf_events(spark, sf_dir).count())
+    timed("events_rollup_1h", lambda: E.q_rollup_1h_events(spark, sf_dir).count(), repeats=2)
+    timed("events_gapfill_locf", lambda: E.q_gapfill_locf_events(spark, sf_dir).count(), repeats=2)
 
     # q5/q6: envelope + VL group aggregates on lineitem
-    timed("envelope_groups", lambda: E.q_envelope_groups(spark, sf_dir).count())
-    timed("vl_groups", lambda: E.q_vl_groups(spark, sf_dir).count())
+    timed("envelope_groups", lambda: E.q_envelope_groups(spark, sf_dir).count(), repeats=2)
+    timed("vl_groups", lambda: E.q_vl_groups(spark, sf_dir).count(), repeats=2)
 
     # q7: broadcast join
-    timed("join_broadcast", lambda: E.q_join_broadcast(spark, sf_dir).count())
+    timed("join_broadcast", lambda: E.q_join_broadcast(spark, sf_dir).count(), repeats=2)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
