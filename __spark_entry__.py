@@ -308,8 +308,7 @@ def q_kp_anonymize_kapra(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kapra_spark import datagen
     from kapra_spark.operators.grouping import kp_anonymize
 
-    pdf = datagen.tokens_pdf(200, n_tok=13, seed=11, gap_fraction=0.0)
-    tokens = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+    tokens = datagen.tokens_df(spark, 200, n_tok=13, seed=11, gap_fraction=0.0)
     return (kp_anonymize(tokens, k=8, p=4, paa=4, l=2, algorithm="kapra")
             .select("doc_id", "group_id", "sax", "as_perturbed", "suppressed"))
 
@@ -318,8 +317,7 @@ def q_kp_anonymize_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kapra_spark import datagen
     from kapra_spark.operators.grouping import kp_anonymize
 
-    pdf = datagen.tokens_pdf(200, n_tok=13, seed=11, gap_fraction=0.0)
-    tokens = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+    tokens = datagen.tokens_df(spark, 200, n_tok=13, seed=11, gap_fraction=0.0)
     return (kp_anonymize(tokens, k=8, p=4, paa=4, l=2, algorithm="naive")
             .select("doc_id", "group_id", "sax", "as_perturbed", "suppressed"))
 
@@ -333,8 +331,7 @@ def q_pattern_loss_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kapra_spark.operators.grouping import kp_anonymize
     from kapra_spark.operators.metrics_ops import global_pattern_loss
 
-    pdf = datagen.tokens_pdf(200, n_tok=13, seed=11, gap_fraction=0.0)
-    tokens = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+    tokens = datagen.tokens_df(spark, 200, n_tok=13, seed=11, gap_fraction=0.0)
     anon = kp_anonymize(tokens, k=8, p=4, paa=4, l=2, algorithm="kapra")
     return global_pattern_loss(tokens, anon)
 
@@ -382,8 +379,7 @@ def q_sax_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kapra_spark import datagen
     from kapra_spark.functions import sax as S
 
-    pdf = datagen.tokens_pdf(300, n_tok=144, seed=42)
-    tokens = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+    tokens = datagen.tokens_df(spark, 300, n_tok=144, seed=42)
 
     def fn(it):
         for b in it:
@@ -446,8 +442,7 @@ def q_tokens_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kapra_spark import datagen
     from kapra_spark.operators.rollup import cascade_fast
 
-    pdf = datagen.tokens_pdf(300, n_tok=144, seed=42)
-    tokens = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+    tokens = datagen.tokens_df(spark, 300, n_tok=144, seed=42)
     return cascade_fast(tokens, tiers=("1h",))
 
 
@@ -459,8 +454,7 @@ def q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kapra_spark.operators.compress import (compress_tokens,
                                                 decompress_tokens)
 
-    pdf = datagen.tokens_pdf(300, n_tok=144, seed=42)
-    tokens = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+    tokens = datagen.tokens_df(spark, 300, n_tok=144, seed=42)
     back = decompress_tokens(compress_tokens(tokens))
     j = (tokens.select("doc_id", F.col("tokens").alias("orig"))
          .join(back.select("doc_id", F.col("tokens").alias("rt")), "doc_id"))

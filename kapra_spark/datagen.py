@@ -66,9 +66,13 @@ def _gen_rows(ids: np.ndarray, n_tok: int, seed: int, gap_fraction: float) -> pd
     cum = np.cumsum(SOURCE_WEIGHTS)
     src_idx = np.searchsorted(cum, src_u)
     vals32 = vals.astype(np.int32)
+    # plain-Python lists, NOT np.int32 arrays: a non-Arrow
+    # createDataFrame path (driver harnesses without
+    # spark.sql.execution.arrow.pyspark.enabled) type-verifies each
+    # element and rejects numpy scalars
     return pd.DataFrame({
         "doc_id": [f"d{int(i):08d}" for i in ids],
-        "tokens": list(vals32),
+        "tokens": vals32.tolist(),
         "n_tok": np.full(rows, n_tok, dtype=np.int32),
         "source": [SOURCES[i] for i in src_idx],
     })

@@ -69,8 +69,13 @@ def compress_tokens(tokens_df: DataFrame, tier: str = "1m") -> DataFrame:
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            n_tok = rb.column(2).to_numpy()
-            flat, offsets = _list_to_matrix(rb.column(1))
+            # by-name resolution, same discipline as decompress_tokens:
+            # partitioned read-back reorders columns
+            names = rb.schema.names
+            c_doc = rb.column(names.index("doc_id"))
+            c_src = rb.column(names.index("source"))
+            n_tok = rb.column(names.index("n_tok")).to_numpy()
+            flat, offsets = _list_to_matrix(rb.column(names.index("tokens")))
             out_cols: dict[str, list] = {k: [] for k in
                                          ("take", "bucket_day", "t0", "v0", "n", "payload")}
             for nt in np.unique(n_tok):
@@ -96,8 +101,8 @@ def compress_tokens(tokens_df: DataFrame, tier: str = "1m") -> DataFrame:
             for p in out_cols["payload"]:
                 payloads_all.extend(p)
             yield pa.RecordBatch.from_arrays([
-                rb.column(0).take(take),
-                rb.column(3).take(take),
+                c_doc.take(take),
+                c_src.take(take),
                 pa.array(["1m"] * len(take), type=pa.string()),
                 pa.array(np.concatenate(out_cols["bucket_day"]), type=pa.date32()),
                 pa.array(np.concatenate(out_cols["t0"]), type=pa.int64()),

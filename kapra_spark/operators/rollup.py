@@ -244,8 +244,13 @@ def cascade_fast(tokens_df: DataFrame,
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            n_tok = rb.column(2).to_numpy()
-            col = rb.column(1)
+            # resolve columns by NAME (partitioned read-back or a
+            # caller's select can reorder the schema)
+            names = rb.schema.names
+            c_doc = rb.column(names.index("doc_id"))
+            c_src = rb.column(names.index("source"))
+            n_tok = rb.column(names.index("n_tok")).to_numpy()
+            col = rb.column(names.index("tokens"))
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             offsets = col.offsets.to_numpy()
@@ -265,8 +270,8 @@ def cascade_fast(tokens_df: DataFrame,
                         pa.array([tier])).cast(pa.string())
                     yield pa.RecordBatch.from_arrays([
                         tier_col,
-                        rb.column(3).take(take),
-                        rb.column(0).take(take),
+                        c_src.take(take),
+                        c_doc.take(take),
                         pa.array(EPOCH_SECONDS + bb.astype(np.int64) * mins * 60),
                         pa.array(cnt[rr, bb].astype(np.int64)),
                         pa.array(s[rr, bb].astype(np.int64)),
