@@ -11,11 +11,22 @@
 
 All candidate generation is bucket-join shaped: at 10^12 docs the only
 shuffles are on (band, band_hash) keys, never all-pairs. Clusters are
-resolved to a canonical keeper (min doc_id) with a small iterative
-min-propagation loop that converges in O(log(cluster diameter)) rounds.
+resolved to a canonical keeper (min doc_id) with a pointer-jumping
+min-propagation loop (per-round localCheckpoint keeps the plan depth
+constant) that converges in O(log(cluster diameter)) rounds.
+
+Hashing note: all 64-bit hashing here is an explicitly AD-HOC mixer —
+polynomial accumulation with natural uint64 wraparound finished by the
+splitmix64 finalizer (Steele/Lea/Flood, public domain). We deliberately
+do NOT claim the (a*x+b) mod p universal family: computing a true
+128-bit modmul in vectorized NumPy costs 4 extra multiplies per hash,
+and MinHash recall only needs well-mixed, collision-sparse 64-bit
+values, which the finalizer provides.
 """
 
 from __future__ import annotations
+
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -23,7 +34,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-MERSENNE = (1 << 61) - 1
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over uint64 (wraparound is the
+    point — every op is mod 2^64)."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
 
 
 # ---------------------------------------------------------------------------
@@ -47,18 +69,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 def _char_shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Distinct k-char shingle hashes via a vectorized polynomial
-    rolling hash (base 257 mod 2^61-1) over the byte sequence."""
+    """Distinct k-char shingle hashes: vectorized base-257 polynomial
+    over the byte sequence accumulated mod 2^64 (uint64 wraparound),
+    finished with the splitmix64 mixer. Ad-hoc by design — see module
+    docstring. Returned as int64 with the top bit cleared so values
+    survive the Spark LongType round-trip order-free."""
     b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
     n = len(b)
     if n < k:
         b = np.pad(b, (0, k - n), constant_values=32)
         n = k
-    # power matrix trick: hash_i = sum(b[i+j] * base^(k-1-j)) mod p
-    powers = np.array([pow(257, k - 1 - j, MERSENNE) for j in range(k)],
+    powers = np.array([pow(257, k - 1 - j, 1 << 64) for j in range(k)],
                       dtype=np.uint64)
     windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-    h = (windows * powers[None, :] % MERSENNE).sum(axis=1) % MERSENNE
+    with np.errstate(over="ignore"):
+        h = _mix64((windows * powers[None, :]).sum(axis=1, dtype=np.uint64))
+    h >>= np.uint64(1)  # keep values non-negative as int64
     return np.unique(h)
 
 
@@ -84,11 +110,12 @@ def shingle_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def minhash_signatures(shingles_df: DataFrame, num_hashes: int = 64,
                        seed: int = 42) -> DataFrame:
-    """(doc_id, sig: array<long>) MinHash signatures: universal hashing
-    h_i(x) = (a_i * x + b_i) mod p, min over the doc's shingle set."""
+    """(doc_id, sig: array<long>) MinHash signatures. Hash family:
+    h_i(x) = splitmix64(x ^ g_i) for seeded random 64-bit g_i — an
+    explicitly ad-hoc mixer family (module docstring), min over the
+    doc's shingle set."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, MERSENNE, size=num_hashes, dtype=np.uint64)
-    b = rng.integers(0, MERSENNE, size=num_hashes, dtype=np.uint64)
+    g = rng.integers(0, 1 << 63, size=num_hashes, dtype=np.uint64)
 
     schema = T.StructType([
         T.StructField("doc_id", shingles_df.schema["doc_id"].dataType, False),
@@ -100,13 +127,8 @@ def minhash_signatures(shingles_df: DataFrame, num_hashes: int = 64,
             sigs = []
             for sh in pdf["shingles"]:
                 x = np.asarray(sh, dtype=np.uint64)
-                # (s, h) matrix in python ints would overflow; use
-                # object-free modmul: (a*x) % p with uint64 overflow-safe
-                # split multiply
-                hi = (x[:, None] >> np.uint64(32)) * a[None, :] % MERSENNE
-                lo = (x[:, None] & np.uint64(0xFFFFFFFF)) * a[None, :] % MERSENNE
-                ax = ((hi << np.uint64(32)) % MERSENNE + lo) % MERSENNE
-                sig = ((ax + b[None, :]) % MERSENNE).min(axis=0)
+                h = _mix64(x[:, None] ^ g[None, :])
+                sig = h.min(axis=0) >> np.uint64(1)
                 sigs.append(sig.astype(np.int64))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
 
@@ -166,27 +188,48 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
 
 def cluster_pairs(pairs: DataFrame, all_ids: DataFrame,
                   max_iter: int = 10) -> DataFrame:
-    """(doc_id, keeper_id): connected components by iterative min-id
-    propagation over the duplicate-pair graph (converges in
-    O(log diameter) joins; duplicate clusters are tiny in practice)."""
+    """(doc_id, keeper_id): connected components by min-id propagation
+    over the duplicate-pair graph with POINTER JUMPING — each round
+    first pulls the min label over graph neighbors, then compresses
+    label(u) <- label(label(u)), so convergence is O(log diameter)
+    rounds, not O(diameter). Every round ends in ``localCheckpoint``:
+    the plan depth stays constant across iterations and no cached
+    frames leak. Warns if the budget is exhausted before convergence
+    (labels are then still a valid partition refinement, just possibly
+    split across multiple keepers)."""
     edges = (pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
              .union(pairs.select(F.col("id_b").alias("u"),
                                  F.col("id_a").alias("v"))))
-    labels = all_ids.select(F.col("doc_id").alias("u"),
-                            F.col("doc_id").alias("keeper_id"))
+    labels = (all_ids.select(F.col("doc_id").alias("u"),
+                             F.col("doc_id").alias("keeper_id"))
+              .localCheckpoint())
+    changed = -1
     for _ in range(max_iter):
         neigh = (edges.join(labels.withColumnRenamed("u", "v"), "v")
                  .groupBy("u").agg(F.min("keeper_id").alias("n_min")))
-        new_labels = (labels.join(neigh, "u", "left")
-                      .select("u", F.least(
-                          F.col("keeper_id"),
-                          F.coalesce("n_min", F.col("keeper_id"))).alias("keeper_id")))
-        changed = (new_labels.alias("n")
+        hop = (labels.join(neigh, "u", "left")
+               .select("u", F.least(
+                   F.col("keeper_id"),
+                   F.coalesce("n_min", F.col("keeper_id"))).alias("keeper_id")))
+        # pointer jump: follow the keeper's own label one step
+        ptr = hop.select(F.col("u").alias("keeper_id"),
+                         F.col("keeper_id").alias("_k2"))
+        jumped = (hop.join(ptr, "keeper_id", "left")
+                  .select("u", F.least(
+                      F.col("keeper_id"),
+                      F.coalesce("_k2", F.col("keeper_id"))).alias("keeper_id"))
+                  .localCheckpoint())
+        changed = (jumped.alias("n")
                    .join(labels.alias("o"), "u")
                    .filter(F.col("n.keeper_id") != F.col("o.keeper_id")).count())
-        labels = new_labels.cache()
+        labels = jumped
         if changed == 0:
             break
+    if changed != 0:
+        warnings.warn(
+            f"cluster_pairs exited at max_iter={max_iter} with {changed} "
+            "labels still moving; some clusters may be split across keepers",
+            RuntimeWarning, stacklevel=2)
     return labels.select(F.col("u").alias("doc_id"), "keeper_id")
 
 
@@ -260,6 +303,30 @@ def dot_col(a: str | F.Column, b: str | F.Column) -> F.Column:
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
+def plane_sig_udf(planes: np.ndarray):
+    """Random-hyperplane signature as ONE Arrow-batched pandas UDF: the
+    (n_planes, dim) matrix ships in the closure and each batch costs a
+    single NumPy matmul. The alternative — building
+    F.array(*[F.lit(p[j]) ...]) per plane — creates n_planes*dim
+    Catalyst literal nodes (65k at dim=4096 x 16 planes) and blows up
+    plan analysis long before data does; this keeps the plan O(1) in
+    embedding dimension. Returns a LongType bucket (bit i = sign of
+    plane i)."""
+    planes_t = np.ascontiguousarray(planes.astype(np.float64).T)
+    weights = (np.uint64(1) << np.arange(planes.shape[0], dtype=np.uint64))
+
+    @F.pandas_udf(T.LongType())
+    def sig(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        m = np.stack(vec.to_numpy()).astype(np.float64)
+        bits = (m @ planes_t) > 0
+        out = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+        return pd.Series(out.astype(np.int64))
+
+    return sig
+
+
 def embedding_near_dups(emb_df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95,
@@ -272,12 +339,9 @@ def embedding_near_dups(emb_df: DataFrame, id_col: str = "vec_id",
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
 
-    sig = F.concat_ws("", *[
-        (dot_col(vec_col, F.array(*[F.lit(float(p[j])) for j in range(dim)]))
-         > 0).cast("int").cast("string")
-        for p in planes])
+    sig = plane_sig_udf(planes)
     normed = emb_df.withColumn("_norm", _norm_col(vec_col))
-    hashed = normed.withColumn("_bucket", sig)
+    hashed = normed.withColumn("_bucket", sig(F.col(vec_col)))
     x = hashed.alias("x")
     y = hashed.alias("y")
     cos = (dot_col(F.col("x." + vec_col), F.col("y." + vec_col))

@@ -18,9 +18,13 @@ group/sax/envelope (the " - " rows).
 
 Scale note: one source's records must fit one executor's Arrow batch
 (the same bound the single-node reference has for its whole table).
-For larger sources, pre-split by a salted sub-source key — each split
-is anonymized independently, which keeps (k,P) guarantees because
-groups never span splits.
+For larger sources, pass ``max_rows_per_split``: sources larger than
+that are pre-split by a salted sub-source key (pmod(xxhash64(doc_id),
+ceil(count / max_rows))) and each split is anonymized independently.
+(k,P) guarantees hold because groups never span splits; the cost is
+locally-optimal (slightly coarser) groupings, the standard
+partition-then-anonymize trade. Split counts derive from a broadcast
+per-source count, so the only extra cost is one small aggregate.
 """
 
 from __future__ import annotations
@@ -28,6 +32,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import clustering as C
@@ -47,6 +52,12 @@ ANON_SCHEMA = T.StructType([
 def _anonymize_source(pdf: pd.DataFrame, k: int, p: int, paa: int, l: int,
                       algorithm: str, seed: int) -> pd.DataFrame:
     source = pdf["source"].iloc[0]
+    # pre-split path: scope the RNG seed and group ids to the split so
+    # sub-sources are independent, reproducible units
+    scope = source
+    if "_split" in pdf.columns:
+        scope = f"{source}~{int(pdf['_split'].iloc[0])}"
+        pdf = pdf.drop(columns=["_split"])
     # canonical row order: results must not depend on partition layout
     # (SURVEY.md §4.3 — sort within group before any greedy scan)
     pdf = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -55,7 +66,7 @@ def _anonymize_source(pdf: pd.DataFrame, k: int, p: int, paa: int, l: int,
     values = mat[:, :-1]          # series (QI attributes)
     sensitive = {i: int(mat[i, -1]) for i in range(len(mat))}
 
-    rnd = C.NumpyRandomSource(C.stable_seed(seed, source))
+    rnd = C.NumpyRandomSource(C.stable_seed(seed, scope))
     rows = list(range(len(values)))
 
     suppressed_rows: list[list[int]] = []
@@ -97,7 +108,7 @@ def _anonymize_source(pdf: pd.DataFrame, k: int, p: int, paa: int, l: int,
         for r in grp:
             out["doc_id"].append(ids[r])
             out["source"].append(source)
-            out["group_id"].append(f"{source}#{gi}")
+            out["group_id"].append(f"{scope}#{gi}")
             out["sax"].append(patterns.get(r))
             out["as_perturbed"].append(sensitive[r])
             out["lo"].append(glo)
@@ -118,12 +129,21 @@ def _anonymize_source(pdf: pd.DataFrame, k: int, p: int, paa: int, l: int,
 
 def kp_anonymize(tokens_df: DataFrame, k: int, p: int, paa: int, l: int = 1,
                  algorithm: str = "kapra", seed: int = 42,
-                 group_col: str = "source") -> DataFrame:
+                 group_col: str = "source",
+                 max_rows_per_split: int | None = None) -> DataFrame:
     """(k,P)-anonymity with l-diversity per ``source``.
 
     Equivalent CLI in the reference:
     ``python k_P_anonymity.py <algorithm> <k> <P> <paa> <l> <csv>``
     (k_P_anonymity.py:28-56), one run per source table.
+
+    ``max_rows_per_split`` bounds the rows any single applyInPandas
+    task sees: sources above the bound are salted into
+    ceil(count / max_rows_per_split) deterministic sub-sources (split
+    assignment = pmod(xxhash64(doc_id), n_splits), independent of
+    partition layout) and anonymized independently. This removes the
+    one-hot-source = one-Arrow-batch scale bound; (k,P)/l guarantees
+    hold per split because groups never span splits.
     """
     if k < p:
         raise ValueError("k must be >= P (reference k_P_anonymity.py:40-44)")
@@ -131,4 +151,21 @@ def kp_anonymize(tokens_df: DataFrame, k: int, p: int, paa: int, l: int = 1,
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _anonymize_source(pdf, k, p, paa, l, algorithm, seed)
 
-    return tokens_df.groupBy(group_col).applyInPandas(fn, ANON_SCHEMA)
+    if max_rows_per_split is None:
+        return tokens_df.groupBy(group_col).applyInPandas(fn, ANON_SCHEMA)
+
+    if max_rows_per_split < 4 * k:
+        raise ValueError(
+            "max_rows_per_split should be >= 4*k so every split can "
+            "form multiple k-groups")
+    counts = tokens_df.groupBy(group_col).agg(F.count("*").alias("_cnt"))
+    n_splits = F.greatest(
+        F.lit(1),
+        F.ceil(F.col("_cnt") / F.lit(max_rows_per_split))).cast("int")
+    salted = (tokens_df
+              .join(F.broadcast(counts), group_col)
+              .withColumn("_split",
+                          F.pmod(F.xxhash64("doc_id"), n_splits).cast("int"))
+              .drop("_cnt"))
+    return (salted.groupBy(group_col, "_split")
+            .applyInPandas(fn, ANON_SCHEMA))

@@ -103,12 +103,19 @@ def verify_against_lineage(spark: SparkSession, path: str,
     """Recompute per-partition (row_count, checksum) from the stored
     table and diff against the latest lineage records — the resume
     test's no-double-counting certificate."""
+    from pyspark.sql import Window
+
     stored = spark.read.parquet(path)
     actual = partition_metrics(stored, partition_cols)
+    # latest record per partition via row_number, NOT orderBy +
+    # dropDuplicates (Spark does not guarantee dropDuplicates keeps the
+    # first row of a prior sort)
+    w = (Window.partitionBy("partition_key")
+         .orderBy(F.desc("committed_at"), F.desc("run_id")))
     lin = (spark.read.parquet(lineage_path)
            .filter(F.col("stage") == stage)
-           .orderBy(F.desc("committed_at"))
-           .dropDuplicates(["partition_key"])
+           .withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1)
            .select("partition_key",
                    F.col("row_count").alias("expect_rows"),
                    F.col("checksum").alias("expect_checksum")))

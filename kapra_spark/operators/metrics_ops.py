@@ -57,21 +57,46 @@ def pattern_loss_per_record(tokens_df: DataFrame, anon_df: DataFrame) -> DataFra
         .join(anon_df.filter(F.col("sax").isNotNull()).select("doc_id", "sax"), "doc_id")
     )
 
-    # precompute medians for every alphabet size once on the driver;
-    # the dict is tiny and ships inside the UDF closure
-    medians = {lvl: S.interval_medians(lvl) for lvl in range(2, S.MAX_LEVEL + 2)}
+    # precompute a (level, letter) -> empirical-median lookup matrix on
+    # the driver; tiny, ships inside the UDF closure
+    med_lut = np.zeros((S.MAX_LEVEL + 2, S.MAX_LEVEL + 2))
+    for lvl in range(2, S.MAX_LEVEL + 2):
+        med_lut[lvl, :lvl] = S.interval_medians(lvl)
 
     @F.pandas_udf(T.DoubleType())
     def pl_udf(tokens: pd.Series, sax: pd.Series) -> pd.Series:
         out = np.empty(len(tokens))
-        for i in range(len(tokens)):
-            series = np.asarray(tokens.iloc[i], dtype=np.float64)[:-1]
-            pr = sax.iloc[i]
-            idx = np.frombuffer(pr.encode(), dtype=np.uint8).astype(np.int64) - 97
-            level = int(idx.max()) + 1
-            p_star = medians[level][idx] if level > 1 else np.zeros(len(idx))
-            p = S.paa(S.znorm(series), len(pr))
-            out[i] = M.cosine_distance(p, p_star)
+        if len(tokens) == 0:
+            return pd.Series(out)
+        # batch rows by (series length, sax length): the znorm/PAA
+        # kernels and the median lookup are then single 2-D NumPy ops
+        lens_t = np.fromiter((len(t) for t in tokens), dtype=np.int64,
+                             count=len(tokens))
+        lens_s = sax.str.len().to_numpy()
+        for lt, ls in {(int(a), int(b)) for a, b in zip(lens_t, lens_s)}:
+            rows = np.nonzero((lens_t == lt) & (lens_s == ls))[0]
+            mat = np.stack([np.asarray(tokens.iloc[i], dtype=np.float64)
+                            for i in rows])[:, :-1]
+            joined_sax = "".join(sax.iloc[i] for i in rows)
+            idx = (np.frombuffer(joined_sax.encode(), dtype=np.uint8)
+                   .astype(np.int64).reshape(len(rows), ls) - 97)
+            levels = idx.max(axis=1) + 1
+            p_star = np.where(levels[:, None] > 1,
+                              med_lut[levels[:, None], idx], 0.0)
+            p = S.paa2d(S.znorm2d(mat), ls)
+            # reference cosine-distance conventions, vectorized
+            # (functions/metrics.py:100-113)
+            su, sv = p.sum(axis=1), p_star.sum(axis=1)
+            nu = np.linalg.norm(p, axis=1)
+            nv = np.linalg.norm(p_star, axis=1)
+            dot = (p * p_star).sum(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = 1.0 - dot / (nu * nv)
+            vals = np.where(
+                (su > 0) & (sv > 0),
+                np.where((nu == 0) | (nv == 0), 1.0, cos),
+                np.where((su == 0) & (sv == 0), 0.0, 1.0))
+            out[rows] = vals
         return pd.Series(out)
 
     return joined.select("doc_id", pl_udf("tokens", "sax").alias("pl"))

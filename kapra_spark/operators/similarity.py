@@ -18,7 +18,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import dot_col
+from .dedup import dot_col, plane_sig_udf
 
 
 def _norm(vec) -> F.Column:
@@ -47,18 +47,6 @@ def topk_cosine_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id", "corpus_id", "cosine", "rank"))
 
 
-def _plane_sig(vec_col: str, planes: np.ndarray) -> F.Column:
-    dim = planes.shape[1]
-    bits = [
-        (dot_col(vec_col, F.array(*[F.lit(float(p[j])) for j in range(dim)]))
-         > 0).cast("long")
-        for p in planes]
-    sig = F.lit(0).cast("long")
-    for i, b in enumerate(bits):
-        sig = sig + (b * F.lit(1 << i))
-    return sig
-
-
 def topk_cosine_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_planes: int = 8, seed: int = 7,
@@ -69,15 +57,16 @@ def topk_cosine_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
     dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
+    sig = plane_sig_udf(planes)
 
     c = (corpus.select(F.col(id_col).alias("corpus_id"),
                        F.col(vec_col).alias("cvec"))
          .withColumn("cnorm", _norm("cvec"))
-         .withColumn("bucket", _plane_sig("cvec", planes)))
+         .withColumn("bucket", sig(F.col("cvec"))))
     q = (queries.select(F.col(id_col).alias("query_id"),
                         F.col(vec_col).alias("qvec"))
          .withColumn("qnorm", _norm("qvec"))
-         .withColumn("bucket0", _plane_sig("qvec", planes)))
+         .withColumn("bucket0", sig(F.col("qvec"))))
     if multiprobe:
         probes = F.array(F.col("bucket0"),
                          *[F.col("bucket0").bitwiseXOR(F.lit(1 << i))

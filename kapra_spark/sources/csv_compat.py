@@ -43,7 +43,7 @@ def write_anonymized_csv(anon_df: DataFrame, path: str) -> None:
     )
     rendered = anon_df.select(
         "doc_id",
-        F.when(F.col("suppressed"), F.lit(None))
+        F.when(F.col("suppressed"), F.lit(" - "))
          .otherwise(F.array_join(env, ",")).alias("envelopes"),
         F.coalesce(F.col("sax"), F.lit(" - ")).alias("sax"),
         F.coalesce(F.col("as_perturbed").cast("string"), F.lit(" - ")).alias("as"),
@@ -56,8 +56,11 @@ def write_anonymized_csv(anon_df: DataFrame, path: str) -> None:
 def parse_envelope_strings(df: DataFrame, col: str = "envelopes") -> DataFrame:
     """Inverse of the render (S5): "[lo|hi],[lo|hi],..." -> lo/hi
     arrays via regexp (reference metric.py:116-120 does a string
-    split per cell)."""
+    split per cell). Suppressed rows — the " - " placeholder or NULL —
+    parse to NULL arrays."""
+    is_env = F.col(col).isNotNull() & (F.trim(F.col(col)) != "-")
     parts = F.split(F.col(col), ",")
     lo = F.transform(parts, lambda s: F.regexp_extract(s, r"\[(-?\d+)\|", 1).cast("long"))
     hi = F.transform(parts, lambda s: F.regexp_extract(s, r"\|(-?\d+)\]", 1).cast("long"))
-    return df.withColumn("lo", lo).withColumn("hi", hi)
+    return (df.withColumn("lo", F.when(is_env, lo))
+            .withColumn("hi", F.when(is_env, hi)))

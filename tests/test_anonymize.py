@@ -130,8 +130,12 @@ def test_csv_compat_roundtrip(spark, tmp_path, tokens):
     write_anonymized_csv(anon, out)
     back = spark.read.csv(out, header=True)
     assert back.count() == N
+    # suppressed rows render as the reference's " - " placeholder
+    suppressed_csv = back.filter("trim(envelopes) = '-'").count()
+    suppressed_orig = anon.filter("suppressed").count()
+    assert suppressed_csv == suppressed_orig
     parsed = parse_envelope_strings(
-        back.filter("envelopes IS NOT NULL")).select("doc_id", "lo", "hi").toPandas()
+        back.filter("trim(envelopes) != '-'")).select("doc_id", "lo", "hi").toPandas()
     orig = anon.filter("NOT suppressed").select("doc_id", "lo", "hi").toPandas()
     a = parsed.sort_values("doc_id").reset_index(drop=True)
     b = orig.sort_values("doc_id").reset_index(drop=True)
@@ -145,3 +149,48 @@ def test_csv_compat_roundtrip(spark, tmp_path, tokens):
         spark, "/root/reference/data/sales_transactions_dataset_weekly.csv")
     r = wide.limit(1).collect()[0]
     assert len(r.tokens) == 52 and r.n_tok == 52
+
+
+# ---------------------------------------------------------------------------
+# salted sub-source pre-split (hot-source scale bound)
+# ---------------------------------------------------------------------------
+
+def test_presplit_hot_source(spark):
+    """A source bigger than max_rows_per_split is salted into
+    independent sub-sources; (k,P) invariants hold per split and the
+    result is partition-layout independent."""
+    pdf = datagen.tokens_pdf(600, n_tok=13, seed=17, gap_fraction=0.0)
+    pdf["source"] = "hot"  # one giant source
+    tokens = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+
+    anon = kp_anonymize(tokens, k=K, p=P, paa=PAA, l=L, algorithm="kapra",
+                        max_rows_per_split=150).toPandas()
+
+    # partition property: every input row exactly once
+    assert sorted(anon["doc_id"]) == sorted(pdf["doc_id"])
+
+    grouped = anon[~anon["suppressed"]]
+    # multiple splits actually created (600 rows / 150 -> 4 salted splits)
+    splits = grouped["group_id"].str.extract(r"^(hot~\d+)#")[0]
+    assert splits.nunique() >= 2
+    # k-guarantee per group, P-guarantee per (group, sax)
+    sizes = grouped.groupby("group_id").size()
+    assert (sizes >= K).all(), sizes[sizes < K]
+    psub = grouped.groupby(["group_id", "sax"]).size()
+    assert (psub >= P).all(), psub[psub < P]
+
+    # deterministic under a different physical layout
+    anon2 = kp_anonymize(tokens.repartition(13), k=K, p=P, paa=PAA, l=L,
+                         algorithm="kapra", max_rows_per_split=150).toPandas()
+    a = anon.sort_values("doc_id").reset_index(drop=True)
+    b = anon2.sort_values("doc_id").reset_index(drop=True)
+    assert (a["group_id"].fillna("") == b["group_id"].fillna("")).all()
+    assert (a["sax"].fillna("") == b["sax"].fillna("")).all()
+
+
+def test_presplit_guard(spark):
+    pdf = datagen.tokens_pdf(50, n_tok=13, seed=17, gap_fraction=0.0)
+    tokens = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+    with pytest.raises(ValueError):
+        kp_anonymize(tokens, k=K, p=P, paa=PAA, l=L,
+                     max_rows_per_split=K)  # < 4*k
