@@ -337,6 +337,10 @@ def q_pattern_loss_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup over the documents table. The oracle is
+    GROUND TRUTH: DuckDB computes exact all-pairs Jaccard over raw
+    5-char shingles; matching it certifies both the banding recall
+    (every true pair surfaced) and the verify stage's exactness."""
     from kapra_spark.operators.dedup import (lsh_candidate_pairs,
                                              minhash_signatures, shingle_df,
                                              verify_jaccard)
@@ -348,11 +352,33 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", F.round("jaccard", 3).alias("jaccard")))
 
 
+#: planted simhash pair set (datagen.neardup_docs_pdf, seed 5): the 12
+#: exact copies MUST appear at hamming 0 (pigeonhole banding finds every
+#: pair within the budget — that part is a priori); the 6 one-char
+#: variants within the 3-bit budget are pinned from the deterministic
+#: hash. Any change to the hash family or banding shows up here.
+_SIMHASH_PLANTED = [
+    ("doc0000", "x0000", 0), ("doc0001", "x0001", 0),
+    ("doc0002", "x0002", 0), ("doc0003", "x0003", 0),
+    ("doc0004", "x0004", 0), ("doc0005", "x0005", 0),
+    ("doc0006", "x0006", 0), ("doc0007", "x0007", 0),
+    ("doc0008", "x0008", 0), ("doc0009", "x0009", 0),
+    ("doc0010", "x0010", 0), ("doc0011", "x0011", 0),
+    ("doc0012", "v0012", 3), ("doc0015", "v0015", 3),
+    ("doc0016", "v0016", 2), ("doc0018", "v0018", 2),
+    ("doc0020", "v0020", 2), ("doc0022", "v0022", 0),
+]
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup over a deterministic planted corpus (12 exact
+    copies + 12 one-char variants on 120 random-word docs). Oracle =
+    the planted pair set (self-verifying constant)."""
+    from kapra_spark import datagen
     from kapra_spark.operators.dedup import (shingle_df, simhash_near_dups,
                                              simhash_signatures)
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = spark.createDataFrame(datagen.neardup_docs_pdf())
     return simhash_near_dups(simhash_signatures(shingle_df(docs)), 3)
 
 
@@ -463,6 +489,107 @@ def q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("orig") != F.col("rt")).cast("long")).alias("n_token_mismatches"))
 
 
+def q_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k (hyperplane LSH + multiprobe + exact rerank).
+    Deterministic (seeded planes) but not SQL-expressible — rows-only;
+    its quality is certified by the paired ``ann_recall`` query."""
+    from kapra_spark.operators.similarity import topk_cosine_lsh
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = topk_cosine_lsh(emb, queries, k=5, n_planes=8)
+    return out.select("query_id", "corpus_id", "rank",
+                      F.round("cosine", 3).alias("cosine"))
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the LSH path vs brute force over 8 query vectors —
+    the quality metric a pipeline would monitor. Deterministic; the
+    oracle pins the constant measured at sf0.01."""
+    from kapra_spark.operators.similarity import (ann_recall,
+                                                  topk_cosine_bruteforce,
+                                                  topk_cosine_lsh)
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = topk_cosine_bruteforce(emb, queries, k=5)
+    approx = topk_cosine_lsh(emb, queries, k=5, n_planes=8)
+    r = ann_recall(exact, approx)
+    return spark.createDataFrame([(round(r, 4),)], "recall double")
+
+
+def q_streaming_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 batch/stream parity as a driver-checkable constant: run
+    the watermarked streaming rollup (file source, two micro-batches,
+    availableNow trigger) and full-outer-diff against the batch rollup.
+    Returns (n_buckets, n_mismatches); the oracle computes n_buckets
+    from the same SQL and pins n_mismatches = 0."""
+    import tempfile
+    import uuid
+
+    from kapra_spark.operators.rollup import events_rollup
+    from kapra_spark.streaming.rollup_stream import stream_rollup
+
+    ev = _read(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="ks_stream_src_")
+    ev.filter("event_id % 2 = 0").write.mode("overwrite").parquet(src)
+    ev.filter("event_id % 2 = 1").write.mode("append").parquet(src)
+
+    sink = f"parity_sink_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (stream_rollup(stream, 3600, watermark="365 days")
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.table(sink).select(
+        "series", "bucket", F.col("cnt").alias("s_cnt"),
+        _r4("sum").alias("s_sum"), _r4("min").alias("s_min"),
+        _r4("max").alias("s_max"))
+    batch = events_rollup(ev, 3600).select(
+        "series", "bucket", F.col("cnt").alias("b_cnt"),
+        _r4("sum").alias("b_sum"), _r4("min").alias("b_min"),
+        _r4("max").alias("b_max"))
+    j = got.join(batch, ["series", "bucket"], "full_outer")
+    mismatch = (
+        F.col("s_cnt").isNull() | F.col("b_cnt").isNull()
+        | (F.col("s_cnt") != F.col("b_cnt")) | (F.col("s_sum") != F.col("b_sum"))
+        | (F.col("s_min") != F.col("b_min")) | (F.col("s_max") != F.col("b_max")))
+    return j.agg(F.count("*").alias("n_buckets"),
+                 F.sum(mismatch.cast("long")).alias("n_mismatches"))
+
+
+def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/S3 resumability as a driver-checkable constant: write the
+    tokens table with per-partition lineage, re-run the same stage
+    (must skip everything), then verify stored checksums against the
+    lineage table. Oracle pins (4 written, 0 skipped) then
+    (0 written, 4 skipped) and 0 bad partitions — the 4 sources of the
+    deterministic generator."""
+    import tempfile
+
+    from kapra_spark import datagen
+    from kapra_spark.operators.lineage import (verify_against_lineage,
+                                               write_with_lineage)
+
+    base = tempfile.mkdtemp(prefix="ks_lineage_")
+    tokens = datagen.tokens_df(spark, 200, n_tok=13, seed=11,
+                               gap_fraction=0.0)
+    s1 = write_with_lineage(tokens, f"{base}/data", ["source"],
+                            f"{base}/lineage", "run1", "tokens")
+    s2 = write_with_lineage(tokens, f"{base}/data", ["source"],
+                            f"{base}/lineage", "run2", "tokens")
+    ver = verify_against_lineage(spark, f"{base}/data", ["source"],
+                                 f"{base}/lineage", "tokens")
+    n_bad = ver.filter(~F.col("ok")).count()
+    return spark.createDataFrame(
+        [(s1["written_partitions"], s1["skipped_partitions"],
+          s2["written_partitions"], s2["skipped_partitions"], n_bad)],
+        "first_written int, first_skipped int, "
+        "second_written int, second_skipped int, n_bad int")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -502,7 +629,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_detect": q_lang_detect,
         "fingerprint": q_fingerprint,
         "topk_cosine": q_topk_cosine,
+        "topk_cosine_lsh": q_topk_cosine_lsh,
+        "ann_recall": q_ann_recall,
         "embedding_neardup": q_embedding_neardup,
+        # streaming + lineage certificates (self-verifying constants)
+        "streaming_rollup_parity": q_streaming_rollup_parity,
+        "lineage_resume": q_lineage_resume,
         # non-SQL-expressible (rows-only driver check + pytest goldens)
         "kp_anonymize_kapra": q_kp_anonymize_kapra,
         "kp_anonymize_naive": q_kp_anonymize_naive,
@@ -775,5 +907,48 @@ def oracle_sql() -> dict[str, str]:
         "gorilla_roundtrip": """
             SELECT CAST(300 AS BIGINT) AS n_rows,
                    CAST(0 AS BIGINT) AS n_token_mismatches
+        """,
+        # GROUND TRUTH for the MinHash pipeline: exact all-pairs Jaccard
+        # over raw 5-char shingles (the LSH path must surface every true
+        # pair and the verify stage must compute the same Jaccard)
+        "minhash_neardup": """
+            WITH sh AS (
+              SELECT DISTINCT d.doc_id, substr(d.text, g.i::INT, 5) AS s
+              FROM documents d,
+                   LATERAL (SELECT unnest(generate_series(
+                       1, greatest(length(d.text) - 4, 1))) AS i) g
+            ), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 3) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = inter.id_a
+            JOIN sz sb ON sb.doc_id = inter.id_b
+            WHERE c / (sa.n + sb.n - c) >= 0.8
+        """,
+        "simhash_neardup": "SELECT * FROM (VALUES "
+        + ", ".join(f"('{a}', '{b}', {h})" for a, b, h in _SIMHASH_PLANTED)
+        + ") AS t(id_a, id_b, hamming)",
+        "streaming_rollup_parity": """
+            SELECT count(*) AS n_buckets,
+                   CAST(0 AS BIGINT) AS n_mismatches
+            FROM (SELECT event_type,
+                         (floor(epoch(ts))::BIGINT // 3600) * 3600 AS b
+                  FROM events GROUP BY 1, 2)
+        """,
+        # pinned constant measured at sf0.01: recall@5 over 8 queries,
+        # 8 tables x 8 planes + hamming-1 multiprobe on UNIFORM RANDOM
+        # vectors (the hard case for any sublinear index — true top-5
+        # sits near cosine 0.3); deterministic via seeded planes
+        "ann_recall": "SELECT CAST(0.625 AS DOUBLE) AS recall",
+        "lineage_resume": """
+            SELECT CAST(4 AS INT) AS first_written,
+                   CAST(0 AS INT) AS first_skipped,
+                   CAST(0 AS INT) AS second_written,
+                   CAST(4 AS INT) AS second_skipped,
+                   CAST(0 AS INT) AS n_bad
         """,
     }

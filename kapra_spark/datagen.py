@@ -84,6 +84,35 @@ def tokens_pdf(n: int, n_tok: int = 144, seed: int = 42,
     return _gen_rows(np.arange(n), n_tok, seed, gap_fraction)
 
 
+def neardup_docs_pdf(n_base: int = 120, n_exact: int = 12,
+                     n_variant: int = 12, seed: int = 5) -> pd.DataFrame:
+    """Deterministic corpus with PLANTED duplicates for self-verifying
+    near-dup checks: ``docNNNN`` are random-word texts; ``xNNNN`` is an
+    exact copy of doc i (i < n_exact, simhash hamming 0 by
+    construction); ``vNNNN`` is doc i with one character changed
+    (n_exact <= i < n_exact+n_variant, hamming small). Random base
+    docs share essentially no shingles, so recovered pairs = planted
+    pairs."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"tok{j:04d}" for j in range(4000)]
+    ids, texts = [], []
+    base: list[str] = []
+    for i in range(n_base):
+        words = rng.integers(0, len(vocab), size=60)
+        t = " ".join(vocab[w] for w in words)
+        base.append(t)
+        ids.append(f"doc{i:04d}")
+        texts.append(t)
+    for i in range(n_exact):
+        ids.append(f"x{i:04d}")
+        texts.append(base[i])
+    for i in range(n_exact, n_exact + n_variant):
+        t = base[i]
+        ids.append(f"v{i:04d}")
+        texts.append(t[:10] + ("z" if t[10] != "z" else "q") + t[11:])
+    return pd.DataFrame({"doc_id": ids, "text": texts})
+
+
 def tokens_df(spark: SparkSession, n: int, n_tok: int = 144, seed: int = 42,
               gap_fraction: float = 0.15, partitions: int | None = None) -> DataFrame:
     """Distributed generation via mapInPandas over spark.range — scales

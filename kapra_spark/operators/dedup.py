@@ -327,28 +327,64 @@ def plane_sig_udf(planes: np.ndarray):
     return sig
 
 
+def plane_sigs_udf(planes: np.ndarray):
+    """Multi-table variant: ``planes`` is (n_tables, n_planes, dim);
+    returns array<long> — one bucket per hash table, all tables
+    computed in a single (batch, dim) @ (dim, n_tables*n_planes)
+    matmul. Multi-table OR-amplification is the standard LSH recall
+    knob: P(candidate) = 1 - (1 - p^r)^L, traded against L× bucket
+    rows on the corpus side."""
+    n_tables, n_planes, dim = planes.shape
+    flat = np.ascontiguousarray(
+        planes.astype(np.float64).reshape(n_tables * n_planes, dim).T)
+    weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sigs(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(vec.to_numpy()).astype(np.float64)
+        bits = (m @ flat).reshape(len(vec), n_tables, n_planes) > 0
+        out = (bits.astype(np.uint64) * weights[None, None, :]).sum(axis=2)
+        return pd.Series(list(out.astype(np.int64)))
+
+    return sigs
+
+
 def embedding_near_dups(emb_df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95,
-                        n_planes: int = 16, seed: int = 7) -> DataFrame:
-    """Random-hyperplane LSH: same sign pattern -> candidate bucket;
-    verify with the exact cosine. Bucketing keeps the join linear-ish;
-    near-identical vectors collide with high probability."""
+                        n_planes: int = 8, n_tables: int = 8,
+                        seed: int = 7) -> DataFrame:
+    """Random-hyperplane LSH near-dup: candidates = pairs sharing a
+    bucket in ANY of ``n_tables`` independent tables (OR-amplified —
+    at cosine 0.95 a single 16-plane table only catches ~18% of pairs;
+    8 tables x 8 planes catch ~99%), then exact-cosine verify. Shuffle
+    keys are (table, bucket) — never all-pairs."""
     first = emb_df.select(F.size(vec_col).alias("d")).first()
     dim = first["d"]
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = rng.standard_normal((n_tables, n_planes, dim))
 
-    sig = plane_sig_udf(planes)
-    normed = emb_df.withColumn("_norm", _norm_col(vec_col))
-    hashed = normed.withColumn("_bucket", sig(F.col(vec_col)))
+    sigs = plane_sigs_udf(planes)
+    hashed = (emb_df
+              .withColumn("_norm", _norm_col(vec_col))
+              .select(id_col, vec_col, "_norm",
+                      F.posexplode(sigs(F.col(vec_col)))
+                      .alias("_table", "_bucket")))
     x = hashed.alias("x")
     y = hashed.alias("y")
-    cos = (dot_col(F.col("x." + vec_col), F.col("y." + vec_col))
-           / (F.col("x._norm") * F.col("y._norm")))
-    return (x.join(y, (F.col("x._bucket") == F.col("y._bucket"))
+    cand = (x.join(y, (F.col("x._table") == F.col("y._table"))
+                   & (F.col("x._bucket") == F.col("y._bucket"))
                    & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
-            .withColumn("cosine", cos)
-            .filter(F.col("cosine") >= threshold)
             .select(F.col(f"x.{id_col}").alias("id_a"),
-                    F.col(f"y.{id_col}").alias("id_b"), "cosine"))
+                    F.col(f"y.{id_col}").alias("id_b"),
+                    F.col(f"x.{vec_col}").alias("_va"),
+                    F.col(f"y.{vec_col}").alias("_vb"),
+                    F.col("x._norm").alias("_na"),
+                    F.col("y._norm").alias("_nb"))
+            .dropDuplicates(["id_a", "id_b"]))
+    cos = dot_col("_va", "_vb") / (F.col("_na") * F.col("_nb"))
+    return (cand.withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

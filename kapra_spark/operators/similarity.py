@@ -18,7 +18,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import dot_col, plane_sig_udf
+from .dedup import dot_col, plane_sigs_udf
 
 
 def _norm(vec) -> F.Column:
@@ -49,41 +49,51 @@ def topk_cosine_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 def topk_cosine_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    n_planes: int = 8, seed: int = 7,
+                    n_planes: int = 8, n_tables: int = 8, seed: int = 7,
                     multiprobe: bool = True) -> DataFrame:
-    """Approximate top-k: hyperplane-bucketed candidates + exact rerank.
-    With multiprobe, each query also probes all buckets at hamming
-    distance 1 (n_planes extra probes), trading candidates for recall."""
+    """Approximate top-k: multi-table hyperplane LSH + exact rerank.
+
+    Recall is OR-amplified over ``n_tables`` independent hash tables
+    (P(candidate) = 1-(1-p^r)^L); with ``multiprobe`` each query also
+    probes every bucket at hamming distance 1 in every table. The
+    corpus side is stored L times (the classic LSH space-for-recall
+    trade); all shuffle keys are (table, bucket) — never all-pairs.
+    On *uniform random* vectors (the synthetic test corpus) true
+    neighbors sit near cosine ~0.3 and ANY sublinear index degrades —
+    size n_tables/n_planes for the corpus at hand; real embedding
+    corpora with near-dup structure (cos >= 0.9) need far fewer probes."""
     dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    sig = plane_sig_udf(planes)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    sigs = plane_sigs_udf(planes)
 
     c = (corpus.select(F.col(id_col).alias("corpus_id"),
                        F.col(vec_col).alias("cvec"))
          .withColumn("cnorm", _norm("cvec"))
-         .withColumn("bucket", sig(F.col("cvec"))))
+         .select("corpus_id", "cvec", "cnorm",
+                 F.posexplode(sigs(F.col("cvec"))).alias("table", "bucket")))
     q = (queries.select(F.col(id_col).alias("query_id"),
                         F.col(vec_col).alias("qvec"))
          .withColumn("qnorm", _norm("qvec"))
-         .withColumn("bucket0", sig(F.col("qvec"))))
+         .select("query_id", "qvec", "qnorm",
+                 F.posexplode(sigs(F.col("qvec"))).alias("table", "bucket0")))
     if multiprobe:
         probes = F.array(F.col("bucket0"),
                          *[F.col("bucket0").bitwiseXOR(F.lit(1 << i))
                            for i in range(n_planes)])
-        q = q.select("query_id", "qvec", "qnorm",
+        q = q.select("query_id", "qvec", "qnorm", "table",
                      F.explode(probes).alias("bucket"))
     else:
         q = q.withColumnRenamed("bucket0", "bucket")
 
-    scored = (c.join(F.broadcast(q), "bucket")
+    scored = (c.join(F.broadcast(q), ["table", "bucket"])
               .filter(F.col("corpus_id") != F.col("query_id"))
+              .dropDuplicates(["query_id", "corpus_id"])
               .withColumn("cosine",
                           dot_col("cvec", "qvec")
                           / (F.col("cnorm") * F.col("qnorm"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
-    return (scored.dropDuplicates(["query_id", "corpus_id"])
-            .withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "corpus_id", "cosine", "rank"))
 

@@ -158,12 +158,18 @@ def test_lsh_topk_recall(spark, emb):
     queries = emb.limit(5)
     exact = topk_cosine_bruteforce(emb, queries, k=10).cache()
     # these embeddings are near-unstructured (top-1 same-label rate
-    # ~7%), so recall tracks the scanned fraction; 3 planes +
-    # multiprobe scans ~half the corpus
-    r3 = ann_recall(exact, topk_cosine_lsh(emb, queries, k=10, n_planes=3))
-    r5 = ann_recall(exact, topk_cosine_lsh(emb, queries, k=10, n_planes=5))
+    # ~7%), so recall tracks the scanned fraction; single-table: 3
+    # planes + multiprobe scans ~half the corpus
+    r3 = ann_recall(exact, topk_cosine_lsh(emb, queries, k=10,
+                                           n_planes=3, n_tables=1))
+    r5 = ann_recall(exact, topk_cosine_lsh(emb, queries, k=10,
+                                           n_planes=5, n_tables=1))
     assert r3 >= 0.6, r3
     assert r3 > r5  # fewer planes -> more candidates -> higher recall
+    # OR-amplification: 8 tables of 5 planes must beat 1 table of 5
+    r5x8 = ann_recall(exact, topk_cosine_lsh(emb, queries, k=10,
+                                             n_planes=5, n_tables=8))
+    assert r5x8 > r5, (r5x8, r5)
 
 
 def test_textops(spark, docs):
@@ -212,3 +218,38 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         stub_decoder(b"xx", "hologram")
+
+
+def test_lsh_highdim_plan_bounded(spark):
+    """dim=1024 x 16 planes x 4 tables: the plane matrix ships in the
+    UDF closure, so the Catalyst plan stays O(1) in dimension (the old
+    literal-array construction created n_planes*dim = 16k plan nodes
+    and died on analysis at real embedding dims)."""
+    from kapra_spark.operators.similarity import topk_cosine_lsh
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(1024).tolist()) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.limit(2)
+    out = topk_cosine_lsh(emb, queries, k=3, n_planes=16, n_tables=4)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 200_000, len(plan)
+    got = out.toPandas()
+    assert set(got["query_id"]) <= {0, 1}
+    assert (got.groupby("query_id").size() <= 3).all()
+
+
+def test_embedding_neardup_multitable_recall(spark, emb):
+    """multi-table OR-amplification: clones (cos ~1) must be caught by
+    the LSH path itself, not just the exact verify."""
+    from kapra_spark.operators.dedup import embedding_near_dups
+
+    base = emb.limit(80)
+    clones = (base.limit(10)
+              .select((F.col("vec_id") + 90000).alias("vec_id"),
+                      "embedding", "label"))
+    out = embedding_near_dups(base.unionByName(clones),
+                              threshold=0.999).toPandas()
+    found = {(a, b) for a, b in zip(out["id_a"], out["id_b"])}
+    expect = {(i, 90000 + i) for i in range(10)}
+    assert expect <= found, expect - found
