@@ -1,0 +1,109 @@
+"""Experiment-grid runner — the engine equivalent of the reference's
+``experiments/__main__.py`` (reference experiments/__main__.py:7-26:
+k_P_pairs x ALGORITHMS x DATASETS with per-cell error capture).
+
+The reference shells out one ``python k_P_anonymity.py ...`` process
+per cell via ProcessPoolExecutor; here every cell runs inside ONE
+SparkSession (the cluster is the parallelism) and appends its 1-row
+metrics record to a results parquet, so the sweep is resumable and the
+results table accumulates across runs exactly like the reference's
+stdout logs — but queryable.
+
+Usage (mirrors the reference's defaults):
+
+    python -m kapra_spark.experiments <tokens.parquet> [results.parquet]
+
+or programmatically with any grid::
+
+    run_grid(spark, {"mydata": tokens_df}, results_path="...")
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import traceback
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .plans.anonymize_plan import run_kp_anonymity
+
+#: reference experiments/__main__.py:7-12
+K_P_PAIRS = [(16, 9), (64, 6), (128, 6), (16, 12)]
+#: reference experiments/__main__.py:14-15
+L_DEFAULT = 1
+PAA_DEFAULT = 6
+#: reference experiments/__main__.py:23-26
+ALGORITHMS = ["naive", "kapra"]
+
+
+def run_grid(
+    spark: SparkSession,
+    datasets: dict[str, DataFrame],
+    algorithms: list[str] | None = None,
+    k_p_pairs: list[tuple[int, int]] | None = None,
+    paa: int = PAA_DEFAULT,
+    l: int = L_DEFAULT,
+    results_path: str | None = None,
+) -> tuple[list[dict], list[dict]]:
+    """Run the (dataset x algorithm x (k,P)) grid; returns
+    (results, errors). Each result row is the anonymize plan's metrics
+    record plus the dataset name; each error row captures the failing
+    cell and its traceback (the reference collects per-dataset error
+    lists, experiments/__main__.py:33-48)."""
+    algorithms = algorithms if algorithms is not None else ALGORITHMS
+    k_p_pairs = k_p_pairs if k_p_pairs is not None else K_P_PAIRS
+
+    results: list[dict] = []
+    errors: list[dict] = []
+    for name, tokens in datasets.items():
+        for algo in algorithms:
+            for k, p in k_p_pairs:
+                try:
+                    row = run_kp_anonymity(
+                        spark, algo, k, p, paa, l, tokens,
+                        results_path=None)
+                    row["dataset"] = name
+                    results.append(row)
+                    if results_path:
+                        (spark.createDataFrame([row])
+                         .write.mode("append").parquet(results_path))
+                except Exception:
+                    errors.append({
+                        "dataset": name, "algorithm": algo, "k": k, "p": p,
+                        "error": traceback.format_exc(limit=5),
+                    })
+    return results, errors
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) < 1:
+        print("usage: kapra_spark.experiments <tokens parquet> "
+              "[results parquet]", file=sys.stderr)
+        return 2
+    inp = argv[0]
+    results_path = argv[1] if len(argv) > 1 else None
+
+    from .session import get_spark
+
+    spark = get_spark("kp_experiments")
+    tokens = spark.read.parquet(inp)
+    name = inp.rstrip("/").rsplit("/", 1)[-1]
+    results, errors = run_grid(spark, {name: tokens},
+                               results_path=results_path)
+    for row in results:
+        print(json.dumps(row))
+    if errors:
+        print(f"Found {len(errors)} errors with dataset {name}",
+              file=sys.stderr)
+        for e in errors:
+            print(json.dumps(e), file=sys.stderr)
+    else:
+        print(f"No errors found with dataset {name}", file=sys.stderr)
+    spark.stop()
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

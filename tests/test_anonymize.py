@@ -194,3 +194,29 @@ def test_presplit_guard(spark):
     with pytest.raises(ValueError):
         kp_anonymize(tokens, k=K, p=P, paa=PAA, l=L,
                      max_rows_per_split=K)  # < 4*k
+
+
+def test_experiment_grid(spark, tokens, tmp_path):
+    """Grid runner mirrors the reference's experiments/__main__.py:
+    sweep cells in one session, append metrics rows, capture per-cell
+    errors without aborting the sweep."""
+    from kapra_spark.experiments import run_grid
+
+    res_path = str(tmp_path / "grid_results")
+    results, errors = run_grid(
+        spark, {"synthetic": tokens},
+        k_p_pairs=[(K, P), (2, 4)],  # second cell violates k >= P
+        paa=PAA, l=L, results_path=res_path)
+
+    assert len(results) == 2   # (naive|kapra) x the valid pair
+    assert len(errors) == 2    # (naive|kapra) x the invalid pair
+    assert all(e["k"] == 2 and "k must be >= P" in e["error"]
+               for e in errors)
+    for r in results:
+        assert r["dataset"] == "synthetic"
+        assert 0.0 <= r["avg_pattern_loss"] <= 1.0
+        assert r["eta"] > 0
+    stored = spark.read.parquet(res_path)
+    assert stored.count() == 2
+    assert {"algorithm", "k", "p", "avg_pattern_loss",
+            "avg_value_loss"} <= set(stored.columns)
