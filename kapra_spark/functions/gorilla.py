@@ -53,25 +53,28 @@ def _bits_of(vals: np.ndarray, nbits: int) -> np.ndarray:
 
 
 def _leading_zeros64(x: np.ndarray) -> np.ndarray:
-    """Vectorized count-leading-zeros for uint64 (x > 0)."""
-    n = np.zeros(x.shape, dtype=np.int64)
-    v = x.copy()
-    for shift, bits in ((32, np.uint64(0xFFFFFFFF00000000)),
-                        (16, np.uint64(0xFFFF000000000000)),
-                        (8, np.uint64(0xFF00000000000000)),
-                        (4, np.uint64(0xF000000000000000)),
-                        (2, np.uint64(0xC000000000000000)),
-                        (1, np.uint64(0x8000000000000000))):
-        mask = (v & bits) == 0
-        n = np.where(mask, n + shift, n)
-        v = np.where(mask, v << np.uint64(shift), v)
-    return np.where(x == 0, 64, n)
+    """Vectorized count-leading-zeros for uint64 via the float64
+    exponent (frexp), with an exact-integer correction pass: a value
+    whose top 53 bits round up gains one exponent (e.g. 2^60-1 rounds
+    to 2^60), detected by ``x >> (e-1) == 0``; values with bit 63 set
+    can round to 2^64 (e = 65), clamped back. 6 dense passes instead
+    of the 18 of a shift-cascade — exact for every uint64."""
+    f = x.astype(np.float64)
+    _, e = np.frexp(f)
+    e = e.astype(np.int64)
+    over = ((e >= 1) & (e <= 64)
+            & ((x >> np.minimum(e - 1, 63).astype(np.uint64)) == 0))
+    e = np.minimum(e - over.astype(np.int64), 64)
+    return np.where(x == 0, 64, 64 - e)
 
 
 def _trailing_zeros64(x: np.ndarray) -> np.ndarray:
-    """Vectorized count-trailing-zeros for uint64 (0 -> 0)."""
+    """Vectorized count-trailing-zeros for uint64 (0 -> 0). The
+    isolated lowest set bit is an exact power of two, so its float64
+    exponent needs no correction."""
     lsb = x & (~x + np.uint64(1))  # isolate lowest set bit
-    return np.where(x == 0, 0, 63 - _leading_zeros64(lsb))
+    _, e = np.frexp(lsb.astype(np.float64))
+    return np.where(x == 0, 0, e.astype(np.int64) - 1)
 
 
 def encode_block(ts: np.ndarray, values: np.ndarray) -> tuple[int, int, int, bytes]:

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from ..functions import gorilla
-from .rollup import EPOCH_SECONDS
+from .rollup import EPOCH_SECONDS, rows_matrix
 
 BLOCKS_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType(), False),
@@ -80,8 +80,7 @@ def compress_tokens(tokens_df: DataFrame, tier: str = "1m") -> DataFrame:
                                          ("take", "bucket_day", "t0", "v0", "n", "payload")}
             for nt in np.unique(n_tok):
                 idx = np.nonzero(n_tok == nt)[0]
-                starts = offsets[idx]
-                vals = flat[starts[:, None] + np.arange(nt)[None, :]].astype(np.int64)
+                vals = rows_matrix(flat, offsets, idx, int(nt))
                 pos0 = 0
                 day_pts = 1440
                 for s in range(0, int(nt), day_pts):

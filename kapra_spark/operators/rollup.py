@@ -180,6 +180,21 @@ _FAST_SCHEMA = T.StructType([
 ])
 
 
+def rows_matrix(flat: np.ndarray, offsets: np.ndarray, idx: np.ndarray,
+                nt: int) -> np.ndarray:
+    """Gather rows ``idx`` (each ``nt`` long) from a ListArray's flat
+    values into an int64 (len(idx), nt) matrix. When the selected rows
+    are contiguous and uniformly strided (the common one-n_tok-per-
+    batch case) this is a zero-copy reshape + one astype pass instead
+    of a fancy-index gather (~7x less memory traffic)."""
+    starts = offsets[idx]
+    if len(starts) > 0 and np.all(np.diff(starts) == nt):
+        base = int(starts[0])
+        return flat[base:base + len(starts) * nt].reshape(
+            len(starts), nt).astype(np.int64)
+    return flat[starts[:, None] + np.arange(nt)[None, :]].astype(np.int64)
+
+
 def _locf_2d(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized row-wise LOCF. -1 is the gap sentinel. Returns
     (filled float matrix with NaN for leading gaps, filled-mask)."""
@@ -199,12 +214,30 @@ def _locf_2d(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def _tier_reduce(filled: np.ndarray, fmask: np.ndarray, mins: int):
     """(rows, T) LOCF'd matrix -> per-bucket (cnt,sum,min,max,first,
-    last,n_filled) arrays + (row, bucket) indices of non-empty buckets."""
+    last,n_filled) arrays + (row, bucket) indices of non-empty buckets.
+
+    ``mins`` is clamped to the row length: a 1440-minute bucket over a
+    144-point series is ONE bucket of 144 points (bucket index =
+    pos // mins = 0 for every point), so reducing over min(mins, t)
+    columns is exact and avoids padding the matrix up to ``mins``
+    (10x inflation for the 1d tier on day-length series)."""
     rows, t = filled.shape
+    if mins == 1:
+        # 1m tier: every point is its own bucket — all aggregates are
+        # the point itself; skip the (rows, t, 1) reshape reductions
+        obs = ~np.isnan(filled)
+        cnt = obs.astype(np.int64)
+        nfil = fmask.astype(np.int64)
+        rr, bb = np.nonzero(obs)
+        return rr, bb, cnt, filled, filled, filled, filled, filled, nfil
+    mins = min(mins, t)
     nb = int(np.ceil(t / mins))
     pad = nb * mins - t
-    fv = np.pad(filled, ((0, 0), (0, pad)), constant_values=np.nan)
-    fm = np.pad(fmask, ((0, 0), (0, pad)), constant_values=False)
+    if pad:
+        fv = np.pad(filled, ((0, 0), (0, pad)), constant_values=np.nan)
+        fm = np.pad(fmask, ((0, 0), (0, pad)), constant_values=False)
+    else:
+        fv, fm = filled, fmask
     r = fv.reshape(rows, nb, mins)
     rm = fm.reshape(rows, nb, mins)
     obs = ~np.isnan(r)
@@ -257,8 +290,7 @@ def cascade_fast(tokens_df: DataFrame,
             flat = col.values.to_numpy(zero_copy_only=False)
             for nt in np.unique(n_tok):
                 idx = np.nonzero(n_tok == nt)[0]
-                starts = offsets[idx]
-                vals = flat[starts[:, None] + np.arange(nt)[None, :]].astype(np.int64)
+                vals = rows_matrix(flat, offsets, idx, int(nt))
                 filled, fmask = _locf_2d(vals)
                 for tier in tiers:
                     mins = TIERS[tier]
