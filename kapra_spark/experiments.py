@@ -76,6 +76,26 @@ def run_grid(
     return results, errors
 
 
+def write_statfile(results: list[dict], metric: str, fixed_param: str,
+                   fixed_value: int, path: str) -> None:
+    """Emit the reference's statfile format (utils/draw_stat_plots.py:
+    header ``<metric> <fixed_param> <fixed_value>``, rows
+    ``<algorithm> <value> <tuned_param_value> <dataset>``) from grid
+    results, so the reference's own plotting script can chart engine
+    runs unchanged."""
+    tuned = "P" if fixed_param.upper() == "K" else "K"
+    fixed_key = "k" if fixed_param.upper() == "K" else "p"
+    tuned_key = "p" if tuned == "P" else "k"
+    lines = [f"{metric} {fixed_param.upper()} {fixed_value}"]
+    for r in results:
+        if r[fixed_key] != fixed_value or metric not in r:
+            continue
+        lines.append(f"{r['algorithm']} {r[metric]} {r[tuned_key]} "
+                     f"{r.get('dataset', 'unknown')}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     if len(argv) < 1:

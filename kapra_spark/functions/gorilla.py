@@ -208,7 +208,15 @@ def decode_batch(t0: np.ndarray, v0: np.ndarray, n: np.ndarray,
 
     All blocks must share the same point count (the engine's blocks are
     per-(series, day) on a fixed grid, so this is the common case; for
-    ragged inputs group by n first). Returns (ts2d, vals2d) int64."""
+    ragged inputs group by n first). Returns (ts2d, vals2d) int64.
+
+    Reads are 64-bit WORD-WINDOW extracts: each variable-width field
+    costs two word gathers + shifts instead of one gather per bit
+    (~4x over the per-bit reader). Control/header fields are read
+    speculatively (4-bit ts control, 13-bit value header in one peek)
+    and the cursor advanced by the true field length; over-reads land
+    in the zero padding past each payload, which is harmless because
+    the cursor never moves past real bits."""
     rows = len(payloads)
     t = int(n[0])
     assert (np.asarray(n) == t).all(), "decode_batch requires equal n"
@@ -220,70 +228,70 @@ def decode_batch(t0: np.ndarray, v0: np.ndarray, n: np.ndarray,
         return ts2d, vals2d
 
     maxbytes = max(len(p) for p in payloads)
-    buf = np.zeros((rows, maxbytes), dtype=np.uint8)
+    nwords = (maxbytes + 7) // 8 + 2  # spare words for speculative reads
+    buf = np.zeros((rows, nwords * 8), dtype=np.uint8)
     for i, p in enumerate(payloads):
         if p:
             buf[i, :len(p)] = np.frombuffer(p, dtype=np.uint8)
-    bits = np.unpackbits(buf, axis=1)                     # (rows, maxbytes*8)
+    # big-endian words: stream bit b = word b>>6, bit 63-(b&63)
+    words = buf.view(">u8").astype(np.uint64).reshape(rows, nwords)
 
-    cur = np.zeros(rows, dtype=np.int64)
-    delta = np.zeros(rows, dtype=np.int64)
     ridx = np.arange(rows)
+    cur = np.zeros(rows, dtype=np.int64)
 
-    def read(mask: np.ndarray, nbits_arr: np.ndarray) -> np.ndarray:
-        """Read per-row variable-width fields at the cursor (masked)."""
-        outv = np.zeros(rows, dtype=np.uint64)
-        nb = nbits_arr
-        mx = int(nb[mask].max()) if mask.any() else 0
-        for j in range(mx):
-            sel = mask & (nb > j)
-            outv[sel] = (outv[sel] << one) | bits[ridx[sel], cur[sel] + j].astype(np.uint64)
-        cur[mask] += nb[mask]
-        return outv
+    def peek(width: int) -> np.ndarray:
+        """Read ``width`` bits at each row's cursor WITHOUT advancing."""
+        w_idx = cur >> 6
+        off = (cur & 63).astype(np.uint64)
+        hi = words[ridx, w_idx]
+        lo = words[ridx, w_idx + 1]
+        win = np.where(off == 0, hi,
+                       (hi << off) | (lo >> (np.uint64(64) - off)))
+        return win >> np.uint64(64 - width)
 
-    one = np.uint64(1)
-    ones = np.ones(rows, dtype=np.int64)
+    ctrl_len_tab = np.array([1, 2, 3, 4, 4], dtype=np.int64)
+    pay_len_tab = np.array([0, 7, 9, 12, 64], dtype=np.int64)
+    lo_tab_all = np.array([0, -63, -255, -2047, 0], dtype=np.int64)
 
+    delta = np.zeros(rows, dtype=np.int64)
     for i in range(1, t):
-        # --- timestamp branch: read up to 4 control bits ---
-        branch = np.zeros(rows, dtype=np.int64)
-        live = np.ones(rows, dtype=bool)
-        for level in range(4):
-            b = read(live, ones).astype(bool)
-            stop = live & ~b
-            branch[stop] = level
-            live = live & b
-            if not live.any():
-                break
-        branch[live] = 4
-
+        # --- timestamp: speculative 4-bit control window ---
+        c4 = peek(4).astype(np.int64)
+        branch = np.where((c4 >> 3) & 1 == 0, 0,
+                          np.where((c4 >> 2) & 1 == 0, 1,
+                                   np.where((c4 >> 1) & 1 == 0, 2,
+                                            np.where(c4 & 1 == 0, 3, 4))))
+        pay_len = pay_len_tab[branch]
+        cur += ctrl_len_tab[branch]
         dod = np.zeros(rows, dtype=np.int64)
-        for bidx, (pn, lo) in enumerate([(0, 0), (7, -63), (9, -255),
-                                         (12, -2047), (64, None)]):
-            m = branch == bidx
-            if pn == 0 or not m.any():
-                continue
-            raw = read(m, np.full(rows, pn, dtype=np.int64)).astype(np.int64)
-            if lo is not None:
-                dod[m] = raw[m] + lo
-            else:
-                # 64-bit raw: uint64 -> int64 cast wraps two's complement
-                dod[m] = raw[m]
+        m = pay_len > 0
+        if m.any():
+            mx = int(pay_len.max())
+            raw = peek(mx) >> (mx - pay_len).astype(np.uint64)
+            # branch 4 is a raw 64-bit two's-complement dod; the rest
+            # are offset-encoded
+            dod = np.where(m, np.where(branch == 4, raw.astype(np.int64),
+                                       raw.astype(np.int64) + lo_tab_all[branch]), 0)
+            cur += pay_len
         delta = delta + dod
         ts2d[:, i] = ts2d[:, i - 1] + delta
 
-        # --- value ---
-        flag = read(np.ones(rows, dtype=bool), ones).astype(bool)
-        vals2d[:, i] = vals2d[:, i - 1]
-        if flag.any():
-            lz = read(flag, np.full(rows, 6, dtype=np.int64)).astype(np.int64)
-            sl = read(flag, np.full(rows, 6, dtype=np.int64)).astype(np.int64) + 1
-            sig = read(flag, sl)
-            shift = np.where(flag, 64 - lz - sl, 0).astype(np.uint64)
-            xor = sig << shift
-            prev = np.ascontiguousarray(vals2d[:, i - 1]).view(np.uint64)
-            newv = (prev ^ xor).view(np.int64)
-            vals2d[flag, i] = newv[flag]
+        # --- value: speculative 13-bit header window ---
+        h13 = peek(13).astype(np.int64)
+        nz = ((h13 >> 12) & 1) == 1
+        lz = (h13 >> 6) & 63
+        sl = (h13 & 63) + 1
+        cur += np.where(nz, 13, 1)
+        xor = np.zeros(rows, dtype=np.uint64)
+        if nz.any():
+            mxs = int(sl[nz].max())
+            raw = peek(mxs)
+            sig = raw >> (mxs - np.where(nz, sl, 1)).astype(np.uint64)
+            cur += np.where(nz, sl, 0)
+            shift = np.where(nz, 64 - lz - sl, 0).astype(np.uint64)
+            xor = np.where(nz, sig << shift, np.uint64(0))
+        prev = np.ascontiguousarray(vals2d[:, i - 1]).view(np.uint64)
+        vals2d[:, i] = (prev ^ xor).view(np.int64)
     return ts2d, vals2d
 
 

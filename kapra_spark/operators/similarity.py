@@ -4,19 +4,27 @@
   query set against the corpus, JVM-side dot products via zip_with/
   aggregate HOFs, per-query row_number window. The correctness
   baseline; linear scan, embarrassingly parallel at 100 TB.
-- :func:`topk_cosine_lsh` — the scale path: random-hyperplane bucket
-  join with multi-probe (queries also probe neighboring buckets at
-  hamming distance 1), exact rerank inside candidate buckets. Shuffle
-  keys are bucket signatures, never all-pairs.
-- :func:`ann_recall` — recall@k of the approximate path vs brute force
+- :func:`topk_cosine_lsh` — scale path 1: multi-table random-hyperplane
+  LSH with multi-probe (queries also probe neighboring buckets at
+  hamming distance 1 in every table), exact rerank inside candidate
+  buckets. Shuffle keys are (table, bucket), never all-pairs.
+- :func:`topk_cosine_ivf` — scale path 2: IVF-flat. Spherical-kmeans
+  coarse quantizer trained on a bounded seeded sample, corpus
+  partitioned by nearest-centroid cell, queries probe their nprobe
+  nearest cells, exact rerank inside. Scanned fraction ~ nprobe /
+  n_cells; with nprobe == n_cells it degenerates to exact brute force
+  (the invariant the driver oracle checks).
+- :func:`ann_recall` — recall@k of an approximate path vs brute force
   (the quality metric a pipeline would monitor).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .dedup import dot_col, plane_sigs_udf
 
@@ -105,3 +113,109 @@ def ann_recall(exact: DataFrame, approx: DataFrame) -> float:
     inter = e.intersect(a).count()
     total = e.count()
     return inter / total if total else 1.0
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def ivf_train_centroids(corpus: DataFrame, n_cells: int = 64,
+                        vec_col: str = "embedding", seed: int = 7,
+                        sample_per_cell: int = 64,
+                        iters: int = 8) -> np.ndarray:
+    """Train spherical k-means centroids on a bounded seeded sample.
+
+    The sample (<= n_cells * sample_per_cell rows) is the ONLY
+    driver-side collect; at 10^12 rows the sample fraction is tiny and
+    the scan it rides on is a single pass. Lloyd iterations run as
+    NumPy matmuls on the driver — centroids are (n_cells, dim), a few
+    MB at any realistic dim. Vectors are unit-normalized so cosine
+    assignment == max dot product."""
+    target = n_cells * sample_per_cell
+    total = corpus.count()
+    frac = min(1.0, (target * 1.3) / max(total, 1))
+    sample = (corpus.select(vec_col).sample(fraction=frac, seed=seed)
+              .limit(target).toPandas())
+    m = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    rng = np.random.default_rng(seed)
+    n_cells = min(n_cells, len(m))
+    cents = m[rng.choice(len(m), size=n_cells, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(n_cells):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+            else:  # dead cell: reseed from the worst-fit point
+                worst = np.argmin((m @ cents.T).max(axis=1))
+                cents[c] = m[worst]
+    return cents
+
+
+def _cell_udf(cents: np.ndarray, nprobe: int = 1):
+    """Assign each vector to its ``nprobe`` nearest centroid cells in
+    one matmul per Arrow batch. Returns array<int> of cell ids."""
+    ct = np.ascontiguousarray(cents.astype(np.float64).T)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(vec.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        scores = m @ ct
+        if nprobe == 1:
+            top = np.argmax(scores, axis=1)[:, None]
+        else:
+            k = min(nprobe, scores.shape[1])
+            part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+            order = np.argsort(
+                -np.take_along_axis(scores, part, axis=1), axis=1)
+            top = np.take_along_axis(part, order, axis=1)
+        return pd.Series(list(top.astype(np.int32)))
+
+    return cells
+
+
+def ivf_assign(corpus: DataFrame, cents: np.ndarray,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, vec, norm, cell): corpus rows tagged with their nearest
+    centroid cell — write this partitioned/bucketed by ``cell`` so
+    probes prune at scan time."""
+    cells = _cell_udf(cents, nprobe=1)
+    return (corpus.select(F.col(id_col).alias("corpus_id"),
+                          F.col(vec_col).alias("cvec"))
+            .withColumn("cnorm", _norm("cvec"))
+            .withColumn("cell", cells(F.col("cvec"))[0]))
+
+
+def topk_cosine_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_cells: int = 64, nprobe: int = 8, seed: int = 7,
+                    cents: np.ndarray | None = None) -> DataFrame:
+    """IVF-flat approximate top-k: spherical-kmeans coarse quantizer,
+    queries probe their ``nprobe`` nearest cells, exact cosine rerank
+    inside probed cells. Scanned fraction ~= nprobe / n_cells; the only
+    shuffle key is ``cell``. Pass precomputed ``cents`` (or a stored
+    ivf_assign output) to skip training."""
+    if cents is None:
+        cents = ivf_train_centroids(corpus, n_cells, vec_col, seed)
+    c = ivf_assign(corpus, cents, id_col, vec_col)
+    probes = _cell_udf(cents, nprobe=nprobe)
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qvec"))
+         .withColumn("qnorm", _norm("qvec"))
+         .withColumn("cell", F.explode(probes(F.col("qvec")))))
+    scored = (c.join(F.broadcast(q), "cell")
+              .filter(F.col("corpus_id") != F.col("query_id"))
+              .withColumn("cosine",
+                          dot_col("cvec", "qvec")
+                          / (F.col("cnorm") * F.col("qnorm"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "cosine", "rank"))

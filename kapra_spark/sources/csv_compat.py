@@ -53,6 +53,36 @@ def write_anonymized_csv(anon_df: DataFrame, path: str) -> None:
     rendered.write.mode("overwrite").option("header", True).csv(path)
 
 
+def downsample_wide_csv(spark: SparkSession, path: str,
+                        records_to_keep: list[int],
+                        out_dir: str | None = None) -> list[str]:
+    """Reference ``utils/downsample_dataset.py``: write head-N variants
+    of a wide CSV as ``<name>_<n>.csv`` under ``downsampled/``. Head-N
+    means the FILE's first N rows (the reference uses ``df.head``), so
+    the read is pinned to one partition to preserve file order. Counts
+    larger than the dataset are skipped with a warning, like the
+    reference (downsample_dataset.py:22-26). Returns written paths."""
+    import warnings
+
+    df = spark.read.csv(path, header=True).coalesce(1).cache()
+    total = df.count()
+    base = path.rsplit("/", 1)[-1]
+    parent = path.rsplit("/", 1)[0] if "/" in path else "."
+    out_base = out_dir if out_dir is not None else f"{parent}/downsampled"
+    written = []
+    for n in records_to_keep:
+        if n > total:
+            warnings.warn(f"Cannot extract {n} records from {base}: "
+                          f"only {total} available", stacklevel=2)
+            continue
+        out = f"{out_base}/{base.replace('.csv', '')}_{n}.csv"
+        (df.limit(n).coalesce(1)
+         .write.mode("overwrite").option("header", True).csv(out))
+        written.append(out)
+    df.unpersist()
+    return written
+
+
 def parse_envelope_strings(df: DataFrame, col: str = "envelopes") -> DataFrame:
     """Inverse of the render (S5): "[lo|hi],[lo|hi],..." -> lo/hi
     arrays via regexp (reference metric.py:116-120 does a string

@@ -253,3 +253,23 @@ def test_embedding_neardup_multitable_recall(spark, emb):
     found = {(a, b) for a, b in zip(out["id_a"], out["id_b"])}
     expect = {(i, 90000 + i) for i in range(10)}
     assert expect <= found, expect - found
+
+
+def test_ivf_topk(spark, emb):
+    """IVF-flat: full probe (nprobe == n_cells) is EXACTLY brute force;
+    partial probe trades recall for scanned fraction."""
+    from kapra_spark.operators.similarity import (ann_recall,
+                                                  topk_cosine_bruteforce,
+                                                  topk_cosine_ivf)
+
+    queries = emb.limit(5)
+    exact = topk_cosine_bruteforce(emb, queries, k=10).cache()
+    r_full = ann_recall(exact, topk_cosine_ivf(emb, queries, k=10,
+                                               n_cells=16, nprobe=16))
+    assert r_full == 1.0
+    r_half = ann_recall(exact, topk_cosine_ivf(emb, queries, k=10,
+                                               n_cells=16, nprobe=8))
+    r_eighth = ann_recall(exact, topk_cosine_ivf(emb, queries, k=10,
+                                                 n_cells=16, nprobe=2))
+    assert r_half >= r_eighth
+    assert r_half >= 0.4, r_half
