@@ -50,8 +50,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 N_TOK = 144
-CORE_LEVELS = (4, 8, 16, 32)
-PAIRS = ((4, 16), (8, 32))
+#: levels actually run (override: SCALING_LEVELS="4,16"); decomposition
+#: is always sized for MAX_CORES so every level sees identical splits
+MAX_CORES = 32
+CORE_LEVELS = tuple(int(x) for x in os.environ.get(
+    "SCALING_LEVELS", "4,8,16,32").split(","))
+PAIRS = tuple((lo, lo * 4) for lo in (4, 8) if lo in CORE_LEVELS
+              and lo * 4 in CORE_LEVELS)
 
 
 def _dir_bytes(path: str) -> int:
@@ -104,10 +109,10 @@ def trial(cpus: int, tokens_path: str, reps: int = 6
     # same shuffle partition count (sized for the LARGEST config) —
     # so the only variable between N and 4N is parallelism, and no
     # config spills where another doesn't
-    split = max(1 << 20, _dir_bytes(tokens_path) // (max(CORE_LEVELS) * 3))
+    split = max(1 << 20, _dir_bytes(tokens_path) // (MAX_CORES * 3))
     spark = get_spark(
         f"scaling_{cpus}", master=f"local[{cpus}]",
-        shuffle_partitions=max(CORE_LEVELS) * 2,
+        shuffle_partitions=MAX_CORES * 2,
         extra_conf={"spark.sql.files.maxPartitionBytes": str(split),
                     "spark.sql.files.openCostInBytes": "0",
                     "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g")})
@@ -246,56 +251,69 @@ def main() -> None:
             print(f"round {rnd} cpus {cpus}: prod {tp} long {tl} "
                   f"(box index {bsi} Mpts/s)", flush=True)
 
+    write_report(n_series, rounds, results)
+
+
+def write_report(n_series: int, rounds: int,
+                 results: dict[int, dict[str, list[float]]],
+                 run_calibration: bool = True) -> None:
+    levels = sorted(results)
     points = n_series * N_TOK
     med = {c: {k: statistics.median(v) for k, v in results[c].items()}
-           for c in CORE_LEVELS}
+           for c in levels}
     # On a shared VM every interference mechanism (CPU steal, DRAM
     # contention from neighbors, scheduler delay) only ADDS wall time,
     # so the per-config minimum over interleaved rounds is the best
     # estimator of the uncontended time; medians + IQR shown alongside
     # for honesty about the spread.
     mins = {c: {k: min(v) for k, v in results[c].items()}
-            for c in CORE_LEVELS}
+            for c in levels}
     spread = {c: {k: round(_iqr(v), 2) for k, v in results[c].items()}
-              for c in CORE_LEVELS}
+              for c in levels}
     thr = {c: {k: round(points / mins[c][k], 1) for k in ("prod", "long")}
-           for c in CORE_LEVELS}
+           for c in levels}
 
     def eff(path, lo, hi):
         return (thr[hi][path] / thr[lo][path]) / (hi / lo)
 
     cal = {}
-    for name, fn in (("alu", _burn_alu), ("encode_kernel", _burn_encode),
-                     ("tier_kernel", _burn_tier)):
-        cal[name] = {c: round(calibrate(fn, c), 1) for c in CORE_LEVELS}
+    if run_calibration:
+        for name, fn in (("alu", _burn_alu), ("encode_kernel", _burn_encode),
+                         ("tier_kernel", _burn_tier)):
+            cal[name] = {c: round(calibrate(fn, c), 1) for c in levels}
+    else:
+        cal = {name: {c: 1.0 for c in levels}
+               for name in ("alu", "encode_kernel", "tier_kernel")}
 
     def cal_eff(name, lo, hi):
         return cal[name][hi] / cal[name][lo] / (hi / lo)
 
+    pairs = [(lo, hi) for lo, hi in PAIRS if lo in levels and hi in levels]
+
     rows = "\n".join(
         f"| {path} | {c} | {mins[c][k]} | {med[c][k]} | {spread[c][k]} | "
-        f"{thr[c][k]:,} | {med[c]['bsi']} |"
+        f"{thr[c][k]:,} | {round(med[c]['bsi'], 2)} |"
         for k, path in (("prod", "production (Gorilla 1m blocks + 1h/1d cascade)"),
                         ("long", "longform (declarative cascade, 1 shuffle)"))
-        for c in CORE_LEVELS)
+        for c in levels)
 
     eff_rows = "\n".join(
         f"| {label} | {lo}->{hi} | {eff(k, lo, hi):.3f} | "
         f"{cal_eff('encode_kernel' if k == 'prod' else 'alu', lo, hi):.3f} | "
         f"{eff(k, lo, hi) / cal_eff('encode_kernel' if k == 'prod' else 'alu', lo, hi):.3f} |"
         for k, label in (("prod", "production"), ("long", "longform"))
-        for lo, hi in PAIRS)
+        for lo, hi in pairs)
 
     cal_rows = "\n".join(
-        f"| {name} | " + " | ".join(str(cal[name][c]) for c in CORE_LEVELS)
-        + f" | {cal_eff(name, 4, 16):.3f} | {cal_eff(name, 8, 32):.3f} |"
+        f"| {name} | " + " | ".join(str(cal[name][c]) for c in levels)
+        + " | " + " | ".join(f"{cal_eff(name, lo, hi):.3f}" for lo, hi in pairs) + " |"
         for name in ("alu", "encode_kernel", "tier_kernel"))
 
     md = f"""# BENCH/BASELINE.md — scaling efficiency (N vs 4N)
 
 Same jobs, same input ({n_series:,} series x {N_TOK} tokens =
 {points:,} points), IDENTICAL decomposition at every core count (same
-scan splits, same {max(CORE_LEVELS) * 2} shuffle partitions) so the
+scan splits, same {MAX_CORES * 2} shuffle partitions) so the
 only variable is parallelism. Trials interleaved round-robin over core
 counts (fresh subprocess + JVM each, warmed up inside), {rounds}
 rounds. Efficiency is computed from per-config MINIMUM wall time:
@@ -328,8 +346,8 @@ executor brings its own memory controllers).
 
 **Calibration (plain multiprocessing, M ops/s aggregate):**
 
-| workload | 4p | 8p | 16p | 32p | eff 4->16 | eff 8->32 |
-| --- | --- | --- | --- | --- | --- | --- |
+| workload | {' | '.join(str(c) + 'p' for c in levels)} | {' | '.join(f'eff {lo}->{hi}' for lo, hi in pairs)} |
+| --- |{' --- |' * (len(levels) + len(pairs))}
 {cal_rows}
 
 Reference single-node baseline (BASELINE.md): kapra ~1,879 points/s on
