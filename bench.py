@@ -118,6 +118,19 @@ def main() -> None:
     extras["points_per_sec_production"] = round(
         total_points / timings["tokens_compress_plus_rollup"], 1)
 
+    # q2c: FUSED production path — blocks + tiers in ONE scan/Arrow pass
+    from kapra_spark.operators.compress import compress_and_cascade
+
+    def q_fused():
+        fused = compress_and_cascade(tokens, tiers=("1h", "1d"))
+        fused.groupBy("kind").agg(
+            F.count("*").alias("rows"),
+            F.sum(F.length("payload")).alias("bytes")).collect()
+
+    timed("tokens_production_fused", q_fused, repeats=2)
+    extras["points_per_sec_production_fused"] = round(
+        total_points / timings["tokens_production_fused"], 1)
+
     # q3/q4: events rollup + gap-fill on driver testdata
     timed("events_rollup_1h", lambda: E.q_rollup_1h_events(spark, sf_dir).count(), repeats=2)
     timed("events_gapfill_locf", lambda: E.q_gapfill_locf_events(spark, sf_dir).count(), repeats=2)

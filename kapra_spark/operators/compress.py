@@ -113,6 +113,125 @@ def compress_tokens(tokens_df: DataFrame, tier: str = "1m") -> DataFrame:
     return tokens_df.mapInArrow(fn, BLOCKS_SCHEMA)
 
 
+#: union schema for the fused pass: kind='block' rows carry the Gorilla
+#: block columns, kind='tier' rows the rollup columns; unused columns
+#: are null. One scan + one Python pass instead of two.
+FUSED_SCHEMA = T.StructType([
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("source", T.StringType(), False),
+    # block columns
+    T.StructField("bucket_day", T.DateType(), True),
+    T.StructField("t0", T.LongType(), True),
+    T.StructField("v0", T.LongType(), True),
+    T.StructField("n", T.IntegerType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+    # tier columns
+    T.StructField("tier", T.StringType(), True),
+    T.StructField("bucket", T.LongType(), True),
+    T.StructField("cnt", T.LongType(), True),
+    T.StructField("sum", T.LongType(), True),
+    T.StructField("min", T.LongType(), True),
+    T.StructField("max", T.LongType(), True),
+    T.StructField("first", T.LongType(), True),
+    T.StructField("last", T.LongType(), True),
+    T.StructField("n_filled", T.LongType(), True),
+])
+
+
+def compress_and_cascade(tokens_df: DataFrame,
+                         tiers: tuple[str, ...] = ("1h", "1d")) -> DataFrame:
+    """The production pipeline's whole per-series compute in ONE narrow
+    mapInArrow pass: Gorilla 1m blocks AND the coarse-tier rollups from
+    a single scan + a single Arrow transfer (the two-pass version reads
+    and ships every token twice). Output is a tagged union
+    (``kind`` = 'block' | 'tier'); split it with two filters — at
+    100 TB that halves the dominant cost (scan + JVM->Python transfer)
+    of the production pipeline. Zero shuffles, like both parents."""
+    import pyarrow as pa
+
+    from .rollup import TIERS, _locf_2d, _tier_reduce
+
+    fused_arrow = pa.schema([
+        ("kind", pa.string()), ("doc_id", pa.string()),
+        ("source", pa.string()),
+        ("bucket_day", pa.date32()), ("t0", pa.int64()), ("v0", pa.int64()),
+        ("n", pa.int32()), ("payload", pa.binary()),
+        ("tier", pa.string()), ("bucket", pa.int64()), ("cnt", pa.int64()),
+        ("sum", pa.int64()), ("min", pa.int64()), ("max", pa.int64()),
+        ("first", pa.int64()), ("last", pa.int64()),
+        ("n_filled", pa.int64()),
+    ])
+
+    def _nulls(pa_type, n):
+        return pa.nulls(n, type=pa_type)
+
+    def fn(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            names = rb.schema.names
+            c_doc = rb.column(names.index("doc_id"))
+            c_src = rb.column(names.index("source"))
+            n_tok = rb.column(names.index("n_tok")).to_numpy()
+            flat, offsets = _list_to_matrix(rb.column(names.index("tokens")))
+            for nt in np.unique(n_tok):
+                idx = np.nonzero(n_tok == nt)[0]
+                vals = rows_matrix(flat, offsets, idx, int(nt))
+                # --- blocks (same layout as compress_tokens) ---
+                day_pts = 1440
+                for s in range(0, int(nt), day_pts):
+                    e = min(s + day_pts, int(nt))
+                    ts = EPOCH_SECONDS + np.arange(s, e, dtype=np.int64) * 60
+                    ts2d = np.broadcast_to(ts, (len(idx), e - s))
+                    t0a, v0a, na, payloads = gorilla.encode_batch(
+                        ts2d, vals[:, s:e])
+                    take = pa.array(idx, type=pa.int64())
+                    m = len(idx)
+                    yield pa.RecordBatch.from_arrays([
+                        pa.array(["block"] * m), c_doc.take(take),
+                        c_src.take(take),
+                        pa.array(np.full(
+                            m, (EPOCH_SECONDS + s * 60) // 86400,
+                            dtype=np.int32), type=pa.date32()),
+                        pa.array(t0a, type=pa.int64()),
+                        pa.array(v0a, type=pa.int64()),
+                        pa.array(na.astype(np.int32), type=pa.int32()),
+                        pa.array(list(payloads), type=pa.binary()),
+                        _nulls(pa.string(), m), _nulls(pa.int64(), m),
+                        _nulls(pa.int64(), m), _nulls(pa.int64(), m),
+                        _nulls(pa.int64(), m), _nulls(pa.int64(), m),
+                        _nulls(pa.int64(), m), _nulls(pa.int64(), m),
+                        _nulls(pa.int64(), m),
+                    ], schema=fused_arrow)
+                # --- tiers (same kernels as cascade_fast) ---
+                filled, fmask = _locf_2d(vals)
+                for tier in tiers:
+                    mins = TIERS[tier]
+                    rr, bb, cnt, sm, mn, mx, first, last, nfil = _tier_reduce(
+                        filled, fmask, mins)
+                    take = pa.array(idx[rr], type=pa.int64())
+                    m = len(rr)
+                    yield pa.RecordBatch.from_arrays([
+                        pa.array(["tier"] * m), c_doc.take(take),
+                        c_src.take(take),
+                        _nulls(pa.date32(), m), _nulls(pa.int64(), m),
+                        _nulls(pa.int64(), m), _nulls(pa.int32(), m),
+                        _nulls(pa.binary(), m),
+                        pa.array([tier] * m),
+                        pa.array(EPOCH_SECONDS + bb.astype(np.int64) * mins * 60),
+                        pa.array(cnt[rr, bb].astype(np.int64)),
+                        pa.array(sm[rr, bb].astype(np.int64)),
+                        pa.array(mn[rr, bb].astype(np.int64)),
+                        pa.array(mx[rr, bb].astype(np.int64)),
+                        pa.array(first[rr, bb].astype(np.int64)),
+                        pa.array(last[rr, bb].astype(np.int64)),
+                        pa.array(nfil[rr, bb].astype(np.int64)),
+                    ], schema=fused_arrow)
+
+    return tokens_df.mapInArrow(fn, FUSED_SCHEMA)
+
+
 DECOMP_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType(), False),
     T.StructField("tokens", T.ArrayType(T.IntegerType()), False),

@@ -78,3 +78,41 @@ def test_compression_ratio_reported(spark):
                        F.sum("n").alias("points")).collect()[0]
     bits_pp = stats["bytes"] * 8 / stats["points"]
     assert bits_pp < 20
+
+
+def test_fused_compress_and_cascade(spark):
+    """The fused single-pass operator must equal compress_tokens +
+    cascade_fast exactly (same kernels, one scan)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kapra_spark import datagen
+    from kapra_spark.operators.compress import (compress_and_cascade,
+                                                compress_tokens)
+    from kapra_spark.operators.rollup import cascade_fast
+
+    pdf = datagen.tokens_pdf(80, n_tok=144, seed=3, gap_fraction=0.2)
+    tokens = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+
+    fused = compress_and_cascade(tokens, tiers=("1h", "1d")).cache()
+    blocks_f = (fused.filter("kind = 'block'")
+                .select("doc_id", "source", "bucket_day", "t0", "v0",
+                        "n", "payload").toPandas()
+                .sort_values(["doc_id", "t0"]).reset_index(drop=True))
+    tiers_f = (fused.filter("kind = 'tier'")
+               .select("tier", "source", "doc_id", "bucket", "cnt", "sum",
+                       "min", "max", "first", "last", "n_filled").toPandas()
+               .sort_values(["tier", "doc_id", "bucket"]).reset_index(drop=True))
+
+    blocks = (compress_tokens(tokens)
+              .select("doc_id", "source", "bucket_day", "t0", "v0",
+                      "n", "payload").toPandas()
+              .sort_values(["doc_id", "t0"]).reset_index(drop=True))
+    tiers = (cascade_fast(tokens, tiers=("1h", "1d"))
+             .select("tier", "source", "doc_id", "bucket", "cnt", "sum",
+                     "min", "max", "first", "last", "n_filled").toPandas()
+             .sort_values(["tier", "doc_id", "bucket"]).reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(blocks_f, blocks)
+    pd.testing.assert_frame_equal(tiers_f, tiers)
+    fused.unpersist()
