@@ -10,9 +10,17 @@ north_rule).
     lineage.write_with_lineage: a killed run resumes from committed
     partitions, re-writes are idempotent, checksums certify equality.
 
-All stages read the SAME tokens scan once (Spark caches nothing here on
-purpose — at 100 TB you want three linear scans over columnar input,
-not a 100 TB cache).
+Two execution modes:
+
+- default: three independent linear scans of the columnar input (no
+  cache — at 100 TB you never want a 100 TB cache), one per output.
+- ``fused=True``: ONE scan + ONE Python pass via
+  ``compress_and_cascade`` writes everything as a single table
+  partitioned by (kind, source, day), where kind in
+  {blocks, 1h, 1d} — the partition dirs ARE the three tables
+  (read ``.../kind=1h/``). At 100 TB this trades two extra source
+  scans (~2x input bytes) for one staging write of ~15% of input
+  bytes — the cheaper side of that trade on any real storage.
 """
 
 from __future__ import annotations
@@ -20,7 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.compress import compress_tokens
+from ..operators.compress import compress_and_cascade, compress_tokens
 from ..operators.lineage import write_with_lineage
 from ..operators.rollup import DEFAULT_RETENTION, apply_retention, cascade_fast
 
@@ -33,11 +41,25 @@ def run_rollup_pipeline(
     now_bucket_seconds: int | None = None,
     retention: dict | None = None,
     resume: bool = True,
+    fused: bool = False,
 ) -> dict:
     """Returns per-stage write stats. ``now_bucket_seconds`` pins the
     retention horizon (explicit for determinism/resume)."""
     stats = {}
     lineage_path = f"{base_path}/_lineage"
+
+    if fused:
+        union = compress_and_cascade(tokens, tiers=("1h", "1d"))
+        union = (union
+                 .withColumn("kind", F.coalesce("tier", F.lit("blocks")))
+                 .withColumn("day", F.when(
+                     F.col("kind") == "blocks", F.col("bucket_day"))
+                     .otherwise(F.to_date(F.timestamp_seconds("bucket"))))
+                 .drop("tier", "bucket_day"))
+        stats["fused"] = write_with_lineage(
+            union, f"{base_path}/fused", ["kind", "source", "day"],
+            lineage_path, run_id, "fused", resume=resume)
+        return stats
 
     blocks = (compress_tokens(tokens)
               .withColumnRenamed("bucket_day", "day"))

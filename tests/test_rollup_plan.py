@@ -73,3 +73,49 @@ def test_pipeline_retention(spark, tokens, tmp_path):
         or spark.read.parquet(f"{base}/tier_1h").count() == 0
     # 1d tier (retention None = keep forever) still written
     assert stats["tier_1d"]["written_partitions"] > 0
+
+
+def test_fused_pipeline_matches_unfused(spark, tmp_path):
+    """fused=True writes one (kind, source, day)-partitioned table
+    whose kind partitions equal the three unfused outputs; resume
+    skips everything on re-run."""
+    from pyspark.sql import functions as F
+
+    from kapra_spark import datagen
+    from kapra_spark.operators.compress import decompress_tokens
+    from kapra_spark.plans.rollup_plan import run_rollup_pipeline
+
+    pdf = datagen.tokens_pdf(60, n_tok=144, seed=21, gap_fraction=0.1)
+    tokens = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+
+    b1 = str(tmp_path / "unfused")
+    b2 = str(tmp_path / "fused")
+    run_rollup_pipeline(spark, tokens, b1, run_id="a")
+    s = run_rollup_pipeline(spark, tokens, b2, run_id="a", fused=True)
+    assert s["fused"]["written_partitions"] > 0
+
+    # tier partitions equal the unfused tier tables
+    for tier in ("1h", "1d"):
+        got = (spark.read.parquet(f"{b2}/fused/kind={tier}")
+               .select("doc_id", "bucket", "cnt", "sum", "min", "max")
+               .toPandas().sort_values(["doc_id", "bucket"]).reset_index(drop=True))
+        exp = (spark.read.parquet(f"{b1}/tier_{tier}")
+               .select("doc_id", "bucket", "cnt", "sum", "min", "max")
+               .toPandas().sort_values(["doc_id", "bucket"]).reset_index(drop=True))
+        import pandas as pd
+        pd.testing.assert_frame_equal(got, exp)
+
+    # blocks partition round-trips to the original tokens
+    blocks = (spark.read.parquet(f"{b2}/fused/kind=blocks")
+              .withColumnRenamed("day", "bucket_day")
+              .select("doc_id", "source", "bucket_day", "t0", "v0", "n", "payload"))
+    back = decompress_tokens(blocks).orderBy("doc_id").toPandas()
+    orig = pdf.sort_values("doc_id").reset_index(drop=True)
+    assert len(back) == len(orig)
+    for i in range(len(orig)):
+        assert list(back["tokens"][i]) == list(orig["tokens"][i])
+
+    # resume: second run writes nothing
+    s2 = run_rollup_pipeline(spark, tokens, b2, run_id="b", fused=True)
+    assert s2["fused"]["written_partitions"] == 0
+    assert s2["fused"]["skipped_partitions"] > 0
