@@ -450,6 +450,22 @@ def q_sax_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _digest(enc, ["doc_id", "sax"])
 
 
+def q_fused_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused single-pass production operator (blocks + 1h/1d tiers from
+    one scan): per-kind row counts over the deterministic tokens table.
+    Exact equality with the two-pass composition is pinned in
+    tests/test_compress.py; the counts pin it to the driver."""
+    from kapra_spark import datagen
+    from kapra_spark.operators.compress import compress_and_cascade
+
+    tokens = datagen.tokens_df(spark, 300, n_tok=144, seed=42)
+    fused = compress_and_cascade(tokens, tiers=("1h", "1d"))
+    return (fused
+            .groupBy(F.coalesce("tier", F.lit("blocks")).alias("kind"))
+            .agg(F.count("*").alias("cnt"))
+            .orderBy("kind"))
+
+
 def q_asof_join_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (SURVEY.md §2.3 J-list): each event picks up the most
     recent "checkpoint" (sparse hourly rollup buckets with cnt >= 5) at
@@ -726,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "tokens_rollup_1h": q_tokens_rollup_1h,
+        "fused_production": q_fused_production,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "sax_encode": q_sax_encode,
         "pattern_loss_global": q_pattern_loss_global,
@@ -1015,6 +1032,12 @@ def oracle_sql() -> dict[str, str]:
         "tokens_rollup_1h": """
             SELECT CAST(900 AS BIGINT) AS n_buckets,
                    CAST(0 AS BIGINT) AS n_mismatches
+        """,
+        "fused_production": """
+            SELECT * FROM (VALUES ('1d', CAST(300 AS BIGINT)),
+                                  ('1h', CAST(900 AS BIGINT)),
+                                  ('blocks', CAST(300 AS BIGINT)))
+            AS t(kind, cnt)
         """,
         "sax_encode": """
             SELECT CAST(300 AS BIGINT) AS n_rows,
