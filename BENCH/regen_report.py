@@ -18,7 +18,8 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 LINE = re.compile(
-    r"round (\d+) cpus (\d+): prod (\[[^\]]*\]) long (\[[^\]]*\]) "
+    r"round (\d+) cpus (\d+): prod (\[[^\]]*\]) long (\[[^\]]*\])"
+    r"(?: fused (\[[^\]]*\]))? "
     r"\(box index (\[[^\]]*\]) Mpts/s\)")
 
 
@@ -28,10 +29,13 @@ def parse_logs(paths: list[str]) -> dict[int, dict[str, list[float]]]:
         text = open(path).read().replace("\r", "\n")
         for m in LINE.finditer(text):
             cpus = int(m.group(2))
-            slot = results.setdefault(cpus, {"prod": [], "long": [], "bsi": []})
+            slot = results.setdefault(
+                cpus, {"prod": [], "long": [], "fused": [], "bsi": []})
             slot["prod"].extend(ast.literal_eval(m.group(3)))
             slot["long"].extend(ast.literal_eval(m.group(4)))
-            slot["bsi"].extend(ast.literal_eval(m.group(5)))
+            if m.group(5):
+                slot["fused"].extend(ast.literal_eval(m.group(5)))
+            slot["bsi"].extend(ast.literal_eval(m.group(6)))
     return results
 
 

@@ -120,14 +120,17 @@ def trial(cpus: int, tokens_path: str, reps: int = 6
     tokens = spark.read.parquet(tokens_path)
     tokens.count()
 
+    from kapra_spark.operators.compress import compress_and_cascade
+
     warm = tokens.limit(50_000).cache()
     warm.count()
     compress_tokens(warm).agg(F.sum(F.length("payload"))).collect()
     R.cascade_fast(warm, tiers=("1h", "1d")).groupBy("tier").count().collect()
+    compress_and_cascade(warm).groupBy("kind").count().collect()
     R.cascade(warm)["1d"].count()
     warm.unpersist()
 
-    prods, longs, bsis = [], [], []
+    prods, longs, fuseds, bsis = [], [], [], []
     for _ in range(reps):
         bsis.append(box_speed_index())
         t0 = time.time()
@@ -136,11 +139,16 @@ def trial(cpus: int, tokens_path: str, reps: int = 6
         prods.append(round(time.time() - t0, 2))
 
         t0 = time.time()
+        compress_and_cascade(tokens).agg(
+            F.count("*"), F.sum(F.length("payload"))).collect()
+        fuseds.append(round(time.time() - t0, 2))
+
+        t0 = time.time()
         R.cascade(tokens)["1d"].count()
         longs.append(round(time.time() - t0, 2))
 
     spark.stop()
-    return prods, longs, bsis
+    return prods, longs, fuseds, bsis
 
 
 # --- OS-level calibration (no Spark): what the box itself can scale ---
@@ -229,27 +237,29 @@ def main() -> None:
         code = (
             "import sys, json; sys.path.insert(0, %r); sys.path.insert(0, %r)\n"
             "import run_scaling as rs\n"
-            "tp, tl, bsi = rs.trial(%d, %r)\n"
-            "print('RESULT ' + json.dumps([tp, tl, bsi]))\n"
+            "tp, tl, tf, bsi = rs.trial(%d, %r)\n"
+            "print('RESULT ' + json.dumps([tp, tl, tf, bsi]))\n"
             % (REPO, os.path.join(REPO, "BENCH"), cpus, tokens_path))
         out = subprocess.run([sys.executable, "-c", code], cwd=REPO,
                              capture_output=True, text=True, timeout=3600)
         for line in out.stdout.splitlines():
             if line.startswith("RESULT "):
-                tp, tl, bsi = json.loads(line[len("RESULT "):])
-                return tp, tl, bsi
+                tp, tl, tf, bsi = json.loads(line[len("RESULT "):])
+                return tp, tl, tf, bsi
         raise RuntimeError(f"trial cpus={cpus} failed:\n{out.stderr[-2000:]}")
 
     results: dict[int, dict[str, list[float]]] = {
-        c: {"prod": [], "long": [], "bsi": []} for c in CORE_LEVELS}
+        c: {"prod": [], "long": [], "fused": [], "bsi": []}
+        for c in CORE_LEVELS}
     for rnd in range(rounds):
         for cpus in CORE_LEVELS:  # interleaved: drift hits all configs
-            tp, tl, bsi = trial_subprocess(cpus)
+            tp, tl, tf, bsi = trial_subprocess(cpus)
             results[cpus]["prod"].extend(tp)
             results[cpus]["long"].extend(tl)
+            results[cpus]["fused"].extend(tf)
             results[cpus]["bsi"].extend(bsi)
             print(f"round {rnd} cpus {cpus}: prod {tp} long {tl} "
-                  f"(box index {bsi} Mpts/s)", flush=True)
+                  f"fused {tf} (box index {bsi} Mpts/s)", flush=True)
 
     write_report(n_series, rounds, results)
 
@@ -270,7 +280,8 @@ def write_report(n_series: int, rounds: int,
             for c in levels}
     spread = {c: {k: round(_iqr(v), 2) for k, v in results[c].items()}
               for c in levels}
-    thr = {c: {k: round(points / mins[c][k], 1) for k in ("prod", "long")}
+    thr = {c: {k: round(points / mins[c][k], 1)
+               for k in ("prod", "long", "fused") if k in mins[c]}
            for c in levels}
 
     def eff(path, lo, hi):
@@ -294,14 +305,18 @@ def write_report(n_series: int, rounds: int,
         f"| {path} | {c} | {mins[c][k]} | {med[c][k]} | {spread[c][k]} | "
         f"{thr[c][k]:,} | {round(med[c]['bsi'], 2)} |"
         for k, path in (("prod", "production (Gorilla 1m blocks + 1h/1d cascade)"),
+                        ("fused", "production FUSED (one scan: blocks + tiers)"),
                         ("long", "longform (declarative cascade, 1 shuffle)"))
+        if k in mins[levels[0]]
         for c in levels)
 
     eff_rows = "\n".join(
         f"| {label} | {lo}->{hi} | {eff(k, lo, hi):.3f} | "
-        f"{cal_eff('encode_kernel' if k == 'prod' else 'alu', lo, hi):.3f} | "
-        f"{eff(k, lo, hi) / cal_eff('encode_kernel' if k == 'prod' else 'alu', lo, hi):.3f} |"
-        for k, label in (("prod", "production"), ("long", "longform"))
+        f"{cal_eff('alu' if k == 'long' else 'encode_kernel', lo, hi):.3f} | "
+        f"{eff(k, lo, hi) / cal_eff('alu' if k == 'long' else 'encode_kernel', lo, hi):.3f} |"
+        for k, label in (("prod", "production"),
+                         ("fused", "production-fused"), ("long", "longform"))
+        if k in mins[levels[0]]
         for lo, hi in pairs)
 
     cal_rows = "\n".join(
