@@ -87,7 +87,7 @@ def box_speed_index() -> float:
 
 
 def trial(cpus: int, tokens_path: str, reps: int = 6
-          ) -> tuple[list[float], list[float], list[float]]:
+          ) -> tuple[list[float], list[float], list[float], list[float]]:
     """One session: warmup, then ``reps`` timed runs of each path,
     alternating, with a box-speed probe before each pair. Run this in
     a FRESH SUBPROCESS (see main): PySpark python daemons of a stopped
@@ -229,7 +229,7 @@ def main() -> None:
 
     import subprocess
 
-    def trial_subprocess(cpus: int) -> tuple[list, list, list]:
+    def trial_subprocess(cpus: int) -> tuple[list, list, list, list]:
         """Fresh process per session: guarantees the JVM and every
         pyspark daemon die between sessions (leaked daemons from a
         stopped context otherwise keep burning CPU into the next
@@ -261,10 +261,10 @@ def main() -> None:
             print(f"round {rnd} cpus {cpus}: prod {tp} long {tl} "
                   f"fused {tf} (box index {bsi} Mpts/s)", flush=True)
 
-    write_report(n_series, rounds, results)
+    write_report(n_series, len(results[CORE_LEVELS[0]]["prod"]), results)
 
 
-def write_report(n_series: int, rounds: int,
+def write_report(n_series: int, n_samples: int,
                  results: dict[int, dict[str, list[float]]],
                  run_calibration: bool = True) -> None:
     levels = sorted(results)
@@ -330,8 +330,8 @@ Same jobs, same input ({n_series:,} series x {N_TOK} tokens =
 {points:,} points), IDENTICAL decomposition at every core count (same
 scan splits, same {MAX_CORES * 2} shuffle partitions) so the
 only variable is parallelism. Trials interleaved round-robin over core
-counts (fresh subprocess + JVM each, warmed up inside), {rounds}
-rounds. Efficiency is computed from per-config MINIMUM wall time:
+counts (fresh subprocess + JVM each, warmed up inside),
+{n_samples} timed samples per core count. Efficiency is computed from per-config MINIMUM wall time:
 on a shared VM every interference mechanism (CPU steal, neighbor DRAM
 traffic, scheduler delay) only ADDS time, so min-of-interleaved-rounds
 estimates the uncontended wall; median + IQR are shown for honesty

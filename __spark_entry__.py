@@ -32,7 +32,8 @@ def _digest(df: DataFrame, cols: list[str]) -> DataFrame:
     driver-checkable constant (the gorilla_roundtrip pattern); the
     SEMANTIC correctness behind each pinned digest is established by
     the pytest parity suites against the reference."""
-    row = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]))
+    row = F.md5(F.concat_ws("|", *[
+        F.coalesce(F.col(c).cast("string"), F.lit("<null>")) for c in cols]))
     return df.agg(
         F.count("*").alias("n_rows"),
         F.md5(F.concat_ws("", F.sort_array(F.collect_list(row))))

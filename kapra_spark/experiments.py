@@ -25,8 +25,25 @@ import sys
 import traceback
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from .plans.anonymize_plan import run_kp_anonymity
+
+#: explicit results schema: single-dict inference would fail on a None
+#: metric and drift the parquet schema across appends
+RESULTS_SCHEMA = T.StructType([
+    T.StructField("algorithm", T.StringType()),
+    T.StructField("k", T.IntegerType()),
+    T.StructField("p", T.IntegerType()),
+    T.StructField("paa", T.IntegerType()),
+    T.StructField("l", T.IntegerType()),
+    T.StructField("eta", T.DoubleType()),
+    T.StructField("tot_pattern_loss", T.DoubleType()),
+    T.StructField("avg_pattern_loss", T.DoubleType()),
+    T.StructField("tot_value_loss", T.DoubleType()),
+    T.StructField("avg_value_loss", T.DoubleType()),
+    T.StructField("dataset", T.StringType()),
+])
 
 #: reference experiments/__main__.py:7-12
 K_P_PAIRS = [(16, 9), (64, 6), (128, 6), (16, 12)]
@@ -66,7 +83,9 @@ def run_grid(
                     row["dataset"] = name
                     results.append(row)
                     if results_path:
-                        (spark.createDataFrame([row])
+                        norm = [{f.name: row.get(f.name)
+                                 for f in RESULTS_SCHEMA.fields}]
+                        (spark.createDataFrame(norm, schema=RESULTS_SCHEMA)
                          .write.mode("append").parquet(results_path))
                 except Exception:
                     errors.append({

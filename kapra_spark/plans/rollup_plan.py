@@ -56,6 +56,23 @@ def run_rollup_pipeline(
                      F.col("kind") == "blocks", F.col("bucket_day"))
                      .otherwise(F.to_date(F.timestamp_seconds("bucket"))))
                  .drop("tier", "bucket_day"))
+        if now_bucket_seconds is not None:
+            # same horizon filter apply_retention applies per tier in
+            # the unfused path, expressed as one predicate over the
+            # tagged union (blocks pass through, like the unfused path)
+            from ..operators.rollup import TIERS
+            policy = retention or DEFAULT_RETENTION
+            keep_pred = F.col("kind") == "blocks"
+            for tier in ("1h", "1d"):
+                is_tier = F.col("kind") == tier
+                keep = policy.get(tier)
+                if keep is None:
+                    keep_pred = keep_pred | is_tier
+                else:
+                    horizon = now_bucket_seconds - keep * TIERS[tier] * 60
+                    keep_pred = keep_pred | (
+                        is_tier & (F.col("bucket") >= F.lit(horizon)))
+            union = union.filter(keep_pred)
         stats["fused"] = write_with_lineage(
             union, f"{base_path}/fused", ["kind", "source", "day"],
             lineage_path, run_id, "fused", resume=resume)

@@ -81,9 +81,13 @@ class TableStore:
                 from pyspark.sql import functions as F
                 w = w.partitionedBy(*[F.col(c) for c in partition_cols])
             if mode == "append":
-                try:
+                # only create on a genuinely missing table — a blind
+                # except-fallback would replace the whole table (and
+                # its accumulated metrics/lineage) on any transient
+                # append failure; real failures must surface
+                if self._iceberg_exists(table):
                     w.append()
-                except Exception:
+                else:
                     w.createOrReplace()
             elif mode == "replace":
                 w.createOrReplace()
