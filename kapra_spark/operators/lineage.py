@@ -71,29 +71,38 @@ def write_with_lineage(
     if resume:
         done = committed_partitions(spark, lineage_path, stage)
         if done is not None:
-            before = df.select("_pk").distinct().count()
-            df = df.join(done.withColumnRenamed("partition_key", "_pk"),
-                         "_pk", "left_anti")
-            after = df.select("_pk").distinct().count()
-            skipped = before - after
-            if after == 0:
-                return {"written_partitions": 0, "skipped_partitions": skipped}
+            # the committed set is metadata-sized (one key per written
+            # partition), so collect it once and derive `skipped` from
+            # lineage alone: on a resume the committed keys are a
+            # subset of the input's keys by construction. This avoids
+            # the two full-input distinct-count shuffles the previous
+            # accounting cost (at 100 TB: two shuffles for a log line),
+            # and broadcasting the key set keeps the anti-join
+            # shuffle-free on the data side.
+            done_keys = done.collect()
+            skipped = len(done_keys)
+            if done_keys:
+                done_df = F.broadcast(
+                    spark.createDataFrame(done_keys)
+                    .withColumnRenamed("partition_key", "_pk"))
+                df = df.join(done_df, "_pk", "left_anti")
 
     work = df.drop("_pk").cache()
-    work.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
-
-    # materialize metrics BEFORE appending: the plan reads the lineage
-    # table through the resume anti-join, so a lazy re-evaluation after
-    # the append would see its own commit
+    # materialize metrics BEFORE the lineage append (the plan reads the
+    # lineage table through the resume anti-join, so a lazy
+    # re-evaluation after the append would see its own commit) and
+    # BEFORE the data write: an all-committed resume then ends here
+    # without creating an empty (schema-less) data directory
     rows = (partition_metrics(work, partition_cols)
             .withColumn("run_id", F.lit(run_id))
             .withColumn("stage", F.lit(stage))
             .withColumn("committed_at", F.current_timestamp())
             .select(*LINEAGE_COLS)
             .collect())
-    work.unpersist()
     if rows:
+        work.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
         spark.createDataFrame(rows).write.mode("append").parquet(lineage_path)
+    work.unpersist()
     return {"written_partitions": len(rows), "skipped_partitions": skipped}
 
 
