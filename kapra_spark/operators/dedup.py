@@ -135,9 +135,27 @@ def minhash_signatures(shingles_df: DataFrame, num_hashes: int = 64,
     return shingles_df.mapInPandas(fn, schema)
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16) -> DataFrame:
+def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16,
+                        max_bucket_size: int | None = 2000) -> DataFrame:
     """Band the signatures and self-join each bucket: docs sharing any
-    band hash become candidate pairs (id_a < id_b)."""
+    band hash become candidate pairs (id_a < id_b).
+
+    Hot-bucket guard: a degenerate bucket with B members would emit
+    B^2/2 pairs from one task (at web scale, boilerplate routinely puts
+    1e5+ near-identical docs in one band bucket -> 1e10 pairs). With
+    ``max_bucket_size`` set, only the ``max_bucket_size`` smallest
+    doc_ids in a bucket form the full clique; every doc beyond the cap
+    is instead STAR-paired with the bucket's min doc_id, bounding the
+    bucket's pair count at cap^2/2 + (B - cap) while keeping every
+    member reachable (for the exact-duplicate floods that cause hot
+    buckets the star pairs all pass verification, so cluster
+    connectivity is preserved exactly; for heterogeneous giant buckets
+    recall degrades gracefully to only-vs-min). Buckets at or under the
+    cap are byte-identical to the unguarded output. Run
+    ``minhash_dedup(exact_first=True)`` to remove exact-duplicate
+    floods before banding entirely."""
+    from pyspark.sql import Window
+
     n = bands
     banded = sig_df.select(
         "doc_id",
@@ -148,14 +166,33 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16) -> DataFrame:
                     F.slice(F.col("sig"), i * (F.size("sig") / n).cast("int") + 1,
                             (F.size("sig") / n).cast("int")).cast("string"))
             )).alias("band", "band_hash"))
-    x = banded.alias("x")
-    y = banded.alias("y")
-    return (x.join(y, (F.col("x.band") == F.col("y.band"))
-                   & (F.col("x.band_hash") == F.col("y.band_hash"))
-                   & (F.col("x.doc_id") < F.col("y.doc_id")))
-            .select(F.col("x.doc_id").alias("id_a"),
-                    F.col("y.doc_id").alias("id_b"))
-            .distinct())
+    if max_bucket_size is None:
+        x = banded.alias("x")
+        y = banded.alias("y")
+        return (x.join(y, (F.col("x.band") == F.col("y.band"))
+                       & (F.col("x.band_hash") == F.col("y.band_hash"))
+                       & (F.col("x.doc_id") < F.col("y.doc_id")))
+                .select(F.col("x.doc_id").alias("id_a"),
+                        F.col("y.doc_id").alias("id_b"))
+                .distinct())
+    # rank + bucket-min in one pass; the window shuffle key equals the
+    # self-join key, so the join below reuses the partitioning
+    bucket = Window.partitionBy("band", "band_hash")
+    banded = (banded
+              .withColumn("_rk", F.row_number().over(bucket.orderBy("doc_id")))
+              .withColumn("_b0", F.min("doc_id").over(bucket)))
+    head = banded.filter(F.col("_rk") <= max_bucket_size)
+    x = head.alias("x")
+    y = head.alias("y")
+    clique = (x.join(y, (F.col("x.band") == F.col("y.band"))
+                     & (F.col("x.band_hash") == F.col("y.band_hash"))
+                     & (F.col("x.doc_id") < F.col("y.doc_id")))
+              .select(F.col("x.doc_id").alias("id_a"),
+                      F.col("y.doc_id").alias("id_b")))
+    star = (banded.filter(F.col("_rk") > max_bucket_size)
+            .select(F.col("_b0").alias("id_a"),
+                    F.col("doc_id").alias("id_b")))
+    return clique.union(star).distinct()
 
 
 def verify_jaccard(pairs: DataFrame, shingles_df: DataFrame,
@@ -175,15 +212,44 @@ def verify_jaccard(pairs: DataFrame, shingles_df: DataFrame,
 
 def minhash_dedup(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 5, num_hashes: int = 64,
-                  bands: int = 16, threshold: float = 0.7) -> DataFrame:
+                  bands: int = 16, threshold: float = 0.7,
+                  exact_first: bool = True,
+                  max_bucket_size: int | None = 2000) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> band -> bucket
-    join -> exact-Jaccard verify -> cluster to canonical keeper."""
-    sh = shingle_df(df, text_col, id_col, k).cache()
+    join -> exact-Jaccard verify -> cluster to canonical keeper.
+
+    ``exact_first`` collapses exact-identical texts to one
+    representative per group BEFORE shingling (scan-speed hash-groupBy)
+    and expands the membership back into the final clustering. This is
+    semantically exact — identical texts have Jaccard 1, so the
+    unguarded pipeline would put them in one cluster anyway, and the
+    keeper (min doc_id per component) is unchanged because each
+    representative is already its exact group's min id — and it removes
+    the #1 cause of hot LSH buckets (web boilerplate repeated verbatim
+    1e5+ times) before any banding happens. ``max_bucket_size`` then
+    guards the residual near-identical buckets (see
+    ``lsh_candidate_pairs``)."""
+    if exact_first:
+        ex = exact_dedup(df, text_col, id_col)
+        reps = (ex.filter(~F.col("is_duplicate"))
+                .select(id_col, text_col))
+        members = ex.select(F.col(id_col).alias("_member_id"),
+                            F.col("keeper_id").alias("_rep_id"))
+    else:
+        reps = df.select(id_col, text_col)
+        members = None
+
+    sh = shingle_df(reps, text_col, id_col, k).cache()
     sig = minhash_signatures(sh, num_hashes)
-    cand = lsh_candidate_pairs(sig, bands)
+    cand = lsh_candidate_pairs(sig, bands, max_bucket_size=max_bucket_size)
     dup_pairs = verify_jaccard(cand, sh, threshold)
-    clusters = cluster_pairs(dup_pairs, df.select(F.col(id_col).alias("doc_id")))
-    return clusters
+    clusters = cluster_pairs(dup_pairs,
+                             reps.select(F.col(id_col).alias("doc_id")))
+    if members is None:
+        return clusters
+    return (members
+            .join(clusters.withColumnRenamed("doc_id", "_rep_id"), "_rep_id")
+            .select(F.col("_member_id").alias("doc_id"), "keeper_id"))
 
 
 def cluster_pairs(pairs: DataFrame, all_ids: DataFrame,
@@ -261,10 +327,19 @@ def simhash_signatures(shingles_df: DataFrame) -> DataFrame:
     return shingles_df.mapInPandas(fn, schema)
 
 
-def simhash_near_dups(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_dups(sim_df: DataFrame, max_hamming: int = 3,
+                      max_bucket_size: int | None = 2000) -> DataFrame:
     """Pigeonhole banding: split 64 bits into max_hamming+1 chunks; any
     pair within the distance budget shares at least one exact chunk.
-    Bucket self-join + exact hamming verify (bit_count of xor)."""
+    Bucket self-join + exact hamming verify (bit_count of xor).
+
+    ``max_bucket_size`` is the same hot-bucket guard as
+    ``lsh_candidate_pairs``: clique among the cap smallest doc_ids per
+    (chunk, chunk_val) bucket, star-to-bucket-min for the overflow
+    (exact-duplicate floods share the full simhash, so star pairs
+    verify at hamming 0 and connectivity is preserved exactly)."""
+    from pyspark.sql import Window
+
     chunks = max_hamming + 1
     width = 64 // chunks
     banded = sim_df.select(
@@ -273,16 +348,33 @@ def simhash_near_dups(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.shiftrightunsigned(F.col("simhash"), i * width)
              .bitwiseAND(F.lit((1 << width) - 1))
             for i in range(chunks)])).alias("chunk", "chunk_val"))
-    x = banded.alias("x")
-    y = banded.alias("y")
+    if max_bucket_size is not None:
+        bucket = Window.partitionBy("chunk", "chunk_val")
+        ordered = bucket.orderBy("doc_id")
+        banded = (banded
+                  .withColumn("_rk", F.row_number().over(ordered))
+                  .withColumn("_b0", F.min("doc_id").over(bucket))
+                  .withColumn("_b0_sh", F.first("simhash").over(ordered)))
+        head = banded.filter(F.col("_rk") <= max_bucket_size)
+    else:
+        head = banded
+    x = head.alias("x")
+    y = head.alias("y")
     cand = (x.join(y, (F.col("x.chunk") == F.col("y.chunk"))
                    & (F.col("x.chunk_val") == F.col("y.chunk_val"))
                    & (F.col("x.doc_id") < F.col("y.doc_id")))
             .select(F.col("x.doc_id").alias("id_a"),
                     F.col("y.doc_id").alias("id_b"),
                     F.col("x.simhash").alias("sh_a"),
-                    F.col("y.simhash").alias("sh_b"))
-            .distinct())
+                    F.col("y.simhash").alias("sh_b")))
+    if max_bucket_size is not None:
+        star = (banded.filter(F.col("_rk") > max_bucket_size)
+                .select(F.col("_b0").alias("id_a"),
+                        F.col("doc_id").alias("id_b"),
+                        F.col("_b0_sh").alias("sh_a"),
+                        F.col("simhash").alias("sh_b")))
+        cand = cand.union(star)
+    cand = cand.distinct()
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (cand.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)

@@ -273,3 +273,98 @@ def test_ivf_topk(spark, emb):
                                                  n_cells=16, nprobe=2))
     assert r_half >= r_eighth
     assert r_half >= 0.4, r_half
+
+
+# ---------------------------------------------------------------------------
+# hot-bucket guard (VERDICT r2 finding 1)
+# ---------------------------------------------------------------------------
+
+def _doc_rows(texts):
+    return [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)]
+
+
+_DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def test_hot_bucket_guard_bounds_pairs_and_keeps_connectivity(spark):
+    """300 identical docs, cap 20: the clique is capped to the 20
+    smallest ids and the other 280 star-pair with the bucket min, so
+    the candidate count collapses from 44850 to 470 while every doc
+    still reaches the keeper through verification + clustering."""
+    from kapra_spark.operators.dedup import (cluster_pairs,
+                                             lsh_candidate_pairs,
+                                             minhash_signatures, shingle_df,
+                                             verify_jaccard)
+
+    text = "the same boilerplate paragraph repeated verbatim everywhere"
+    docs = spark.createDataFrame(_doc_rows([text] * 300), _DOC_SCHEMA)
+    sh = shingle_df(docs).cache()
+    sig = minhash_signatures(sh)
+    cand = lsh_candidate_pairs(sig, max_bucket_size=20).cache()
+    n_cand = cand.count()
+    assert n_cand == 20 * 19 // 2 + 280, n_cand  # capped clique + star
+    verified = verify_jaccard(cand, sh, threshold=0.9)
+    clusters = cluster_pairs(
+        verified, docs.select(F.col("doc_id"))).toPandas()
+    assert set(clusters["keeper_id"]) == {0}  # one cluster, min-id keeper
+    assert len(clusters) == 300
+    sh.unpersist()
+    cand.unpersist()
+
+
+def test_hot_bucket_guard_noop_on_normal_corpus(spark, docs):
+    """Buckets at or under the cap are byte-identical to unguarded."""
+    from kapra_spark.operators.dedup import (lsh_candidate_pairs,
+                                             minhash_signatures, shingle_df)
+
+    sig = minhash_signatures(shingle_df(docs)).cache()
+    guarded = lsh_candidate_pairs(sig, max_bucket_size=2000)
+    unguarded = lsh_candidate_pairs(sig, max_bucket_size=None)
+    g = {(r.id_a, r.id_b) for r in guarded.collect()}
+    u = {(r.id_a, r.id_b) for r in unguarded.collect()}
+    assert g == u
+    sig.unpersist()
+
+
+def test_exact_first_defuses_planted_flood(spark):
+    """5000 verbatim copies (the planted-flood 'done' criterion):
+    exact_first collapses them to one representative before any
+    banding, and the expanded clustering maps all 5000 to the min id."""
+    from kapra_spark.operators.dedup import minhash_dedup
+
+    text = "copy pasted cookie banner text appearing on every page"
+    rng = np.random.default_rng(99)
+    words = ["alpha", "bridge", "copper", "delta", "ember", "forest",
+             "glacier", "harbor", "island", "jungle", "kernel", "lagoon",
+             "meadow", "nebula", "orchid", "prairie"]
+    uniq = [" ".join(rng.choice(words, size=12)) + f" {i}"
+            for i in range(20)]
+    docs = spark.createDataFrame(
+        _doc_rows([text] * 5000 + uniq), _DOC_SCHEMA)
+    out = minhash_dedup(docs, threshold=0.8, exact_first=True,
+                        max_bucket_size=100).toPandas()
+    assert len(out) == 5020
+    flood = out[out["doc_id"] < 5000]
+    assert set(flood["keeper_id"]) == {0}
+    rest = out[out["doc_id"] >= 5000]
+    assert (rest["keeper_id"] == rest["doc_id"]).all()
+
+
+def test_simhash_hot_bucket_guard(spark):
+    """Identical docs share the full simhash: star pairs verify at
+    hamming 0, so the guard preserves exact connectivity."""
+    from kapra_spark.operators.dedup import (cluster_pairs, shingle_df,
+                                             simhash_near_dups,
+                                             simhash_signatures)
+
+    text = "repeated footer text with legal disclaimers and links"
+    docs = spark.createDataFrame(_doc_rows([text] * 200), _DOC_SCHEMA)
+    sim = simhash_signatures(shingle_df(docs))
+    dups = simhash_near_dups(sim, max_hamming=3, max_bucket_size=15).cache()
+    n = dups.count()
+    assert n == 15 * 14 // 2 + 185, n
+    assert dups.filter(F.col("hamming") != 0).count() == 0
+    clusters = cluster_pairs(
+        dups.select("id_a", "id_b"), docs.select("doc_id")).toPandas()
+    assert set(clusters["keeper_id"]) == {0}
+    dups.unpersist()
