@@ -38,11 +38,23 @@ def asof_join(
     how: str = "inner",
     tolerance_seconds: int | None = None,
     right_prefix: str = "r_",
+    skew_bucket_seconds: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right_ts <= left_ts`` within the same ``by`` group (backward
     as-of; ties match). ``how='left'`` keeps unmatched left rows with
     NULL right columns. Right's non-key columns come back prefixed.
+
+    ``skew_bucket_seconds`` enables the hot-key mitigation: without it
+    every row of a ``by`` key funnels through ONE window task (a hot
+    event_type at web scale serializes in one sort). With it, rows are
+    pre-partitioned on (by, coarse time bucket) and the window runs per
+    bucket; cross-bucket state is restored by a carry row per bucket —
+    the latest right row of any earlier bucket, computed from a
+    bucket-level aggregate that is metadata-sized (one row per
+    (by, bucket)). Results are EXACTLY equal to the unbucketed
+    formulation (parity-tested); choose a bucket width that splits the
+    hottest key into enough buckets to saturate the cluster.
     """
     by = [by] if isinstance(by, str) else list(by)
     r_payload = [c for c in right.columns if c not in by]
@@ -74,11 +86,46 @@ def asof_join(
 
     unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
 
-    w = (Window.partitionBy(*by).orderBy("_t", "_side")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    matched = (unioned
-               .withColumn("_m", F.last("_rpay", ignorenulls=True).over(w))
-               .filter(F.col("_side") == 1))
+    if skew_bucket_seconds is None:
+        w = (Window.partitionBy(*by).orderBy("_t", "_side")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        matched = (unioned
+                   .withColumn("_m", F.last("_rpay", ignorenulls=True).over(w))
+                   .filter(F.col("_side") == 1))
+    else:
+        u = unioned.withColumn(
+            "_cb", F.floor(F.unix_timestamp("_t")
+                           / F.lit(skew_bucket_seconds)).cast("long"))
+        # latest right row per (by, bucket) — metadata-sized
+        per_bucket = (u.filter(F.col("_side") == 0)
+                      .groupBy(*by, "_cb")
+                      .agg(F.max_by("_rpay", "_t").alias("_rp"),
+                           F.max("_t").alias("_rt")))
+        # carry-in per bucket actually present on either side: the
+        # latest right row over all STRICTLY EARLIER buckets (a right
+        # row in bucket b-1 has ts < b*width <= every ts in bucket b,
+        # so carry rows always sort first within their bucket)
+        w_carry = (Window.partitionBy(*by).orderBy("_cb")
+                   .rowsBetween(Window.unboundedPreceding, -1))
+        carry = (u.select(*by, "_cb").distinct()
+                 .join(per_bucket, [*by, "_cb"], "left")
+                 .withColumn("_cin", F.last("_rp", ignorenulls=True).over(w_carry))
+                 .withColumn("_cin_t", F.last("_rt", ignorenulls=True).over(w_carry))
+                 .filter(F.col("_cin").isNotNull()))
+        carry_rows = carry.select(
+            *by,
+            F.col("_cin_t").alias("_t"),
+            F.lit(0).alias("_side"),
+            F.col("_cin").alias("_rpay"),
+            *[F.lit(None).cast(f.dataType).alias(f.name)
+              for f in left.schema.fields if f.name not in by],
+            "_cb")
+        u2 = u.unionByName(carry_rows.select(*u.columns))
+        w = (Window.partitionBy(*by, "_cb").orderBy("_t", "_side")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        matched = (u2
+                   .withColumn("_m", F.last("_rpay", ignorenulls=True).over(w))
+                   .filter(F.col("_side") == 1))
     if tolerance_seconds is not None:
         in_tol = (F.unix_timestamp("_t")
                   - F.unix_timestamp(F.col("_m")[right_ts])) <= tolerance_seconds

@@ -98,3 +98,70 @@ def test_range_join_point_in_interval(spark, sides):
     # a rows in [00:00, 00:05): lv 0,1 ; a rows in [01:00, 03:00): lv 3
     # b rows all on day one: lv 4,5,6
     assert got == {"early": 2, "late": 1, "all": 3}
+
+
+# ---------------------------------------------------------------------------
+# skew mitigation: (by, coarse time bucket) pre-partition + carry rows
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """One hot key carrying 95% of the rows across 6 hours, sparse
+    right side with multi-bucket gaps (so carries must cross several
+    empty buckets), plus cold keys and a right-only key."""
+    import numpy as np
+    rng = np.random.default_rng(17)
+    base = pd.Timestamp("2024-03-01")
+    n_hot = 4000
+    left = pd.DataFrame({
+        "k": ["hot"] * n_hot + ["cold1"] * 100 + ["cold2"] * 100,
+        "ts": ([base + pd.Timedelta(seconds=int(s))
+                for s in np.sort(rng.integers(0, 6 * 3600, n_hot))]
+               + [base + pd.Timedelta(seconds=int(s))
+                  for s in np.sort(rng.integers(0, 6 * 3600, 200))]),
+        "lv": list(range(n_hot + 200)),
+    })
+    # distinct right timestamps per key (tie order within equal right
+    # ts is arbitrary in BOTH formulations, so keep the oracle tie-free)
+    rts = np.sort(rng.choice(6 * 3600, size=40, replace=False))
+    right = pd.DataFrame({
+        "k": ["hot"] * 30 + ["cold1"] * 9 + ["only_right"],
+        "ts": [base + pd.Timedelta(seconds=int(s)) for s in rts[:30]]
+        + [base + pd.Timedelta(seconds=int(s)) for s in rts[30:39]]
+        + [base],
+        "rv": list(range(40)),
+    })
+    return spark.createDataFrame(left), spark.createDataFrame(right)
+
+
+@pytest.mark.parametrize("how,tol", [("left", None), ("inner", None),
+                                     ("left", 600)])
+def test_asof_skew_bucketing_parity(spark, skewed, how, tol):
+    """The bucketed formulation is row-for-row equal to the global
+    window, including carries across empty buckets and tolerance."""
+    ldf, rdf = skewed
+    plain = (asof_join(ldf, rdf, by="k", how=how, tolerance_seconds=tol)
+             .orderBy("lv").toPandas())
+    bucketed = (asof_join(ldf, rdf, by="k", how=how, tolerance_seconds=tol,
+                          skew_bucket_seconds=900)
+                .orderBy("lv").toPandas())
+    assert list(plain["lv"]) == list(bucketed["lv"])
+    a = plain["r_rv"].where(plain["r_rv"].notna(), -1).tolist()
+    b = bucketed["r_rv"].where(bucketed["r_rv"].notna(), -1).tolist()
+    assert a == b
+
+
+def test_asof_skew_plan_partitions_by_bucket(spark, skewed):
+    """The hot key no longer funnels through one window task: the main
+    window's partition spec includes the coarse bucket, and no
+    nested-loop join appears."""
+    ldf, rdf = skewed
+    plan = (asof_join(ldf, rdf, by="k", skew_bucket_seconds=900)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_cb" in plan  # window/exchange keyed on (by, bucket)
+    # the data actually spreads: >1 distinct bucket for the hot key
+    u = (ldf.withColumn("_cb", F.floor(F.unix_timestamp("ts") / 900))
+         .filter(F.col("k") == "hot").select("_cb").distinct().count())
+    assert u > 10
