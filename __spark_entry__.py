@@ -660,6 +660,53 @@ def q_streaming_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(mismatch.cast("long")).alias("n_mismatches"))
 
 
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2/S5 as one self-verifying constant: deterministic tokens ->
+    wide CSV (the reference's input shape, io.py:114-134) ->
+    read_wide_csv -> kp_anonymize -> write_anonymized_csv (the
+    reference's "[lo|hi]" / " - " output shape,
+    anonymized_dataset.py:27-55) -> re-read + parse_envelope_strings ->
+    digest. n_ingest_mismatch pins the CSV scan against the native
+    table; the digest pins render + re-parse byte-for-byte."""
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from kapra_spark import datagen
+    from kapra_spark.operators.grouping import kp_anonymize
+    from kapra_spark.sources.csv_compat import (parse_envelope_strings,
+                                                read_wide_csv,
+                                                write_anonymized_csv)
+
+    base = tempfile.mkdtemp(prefix="ks_csvrt_")
+    pdf = datagen.tokens_pdf(120, n_tok=13, seed=23, gap_fraction=0.0)
+    wide = pd.DataFrame({"id": pdf["doc_id"]})
+    toks = np.stack(pdf["tokens"].to_numpy())
+    for j in range(toks.shape[1]):
+        wide[f"t{j}"] = toks[:, j]
+    wide.to_csv(f"{base}/wide.csv", index=False)
+
+    tokens = read_wide_csv(spark, f"{base}/wide.csv", source="roundtrip")
+    native = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+    n_ingest_mismatch = (
+        tokens.select("doc_id", "tokens")
+        .join(native.select("doc_id", F.col("tokens").alias("t2")), "doc_id")
+        .filter(F.col("tokens") != F.col("t2")).count())
+
+    anon = kp_anonymize(tokens, k=8, p=4, paa=4, l=2, algorithm="kapra")
+    write_anonymized_csv(anon, f"{base}/anon_csv")
+    back = parse_envelope_strings(
+        spark.read.csv(f"{base}/anon_csv", header=True))
+    summary = _digest(
+        back.select("doc_id", F.col("lo").cast("string").alias("lo_s"),
+                    F.col("hi").cast("string").alias("hi_s"),
+                    "sax", "as", "group"),
+        ["doc_id", "lo_s", "hi_s", "sax", "as", "group"])
+    return summary.withColumn(
+        "n_ingest_mismatch", F.lit(n_ingest_mismatch).cast("long"))
+
+
 def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5/S3 resumability as a driver-checkable constant: write the
     tokens table with per-partition lineage, re-run the same stage
@@ -737,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming + lineage certificates (self-verifying constants)
         "streaming_rollup_parity": q_streaming_rollup_parity,
         "lineage_resume": q_lineage_resume,
+        "csv_roundtrip": q_csv_roundtrip,
         # non-SQL-expressible (rows-only driver check + pytest goldens)
         "kp_anonymize_kapra": q_kp_anonymize_kapra,
         "kp_anonymize_naive": q_kp_anonymize_naive,
@@ -1018,6 +1066,11 @@ def oracle_sql() -> dict[str, str]:
         # pinned digests: deterministic-but-not-SQL-expressible
         # operators, content-hashed (semantics pinned to the reference
         # by the pytest parity suites; these rows pin them to the driver)
+        "csv_roundtrip": """
+            SELECT CAST(120 AS BIGINT) AS n_rows,
+                   '3295d96a97115c871a5ac7fc90eecce1' AS digest,
+                   CAST(0 AS BIGINT) AS n_ingest_mismatch
+        """,
         "kp_anonymize_kapra": """
             SELECT CAST(200 AS BIGINT) AS n_rows,
                    '3f0adbae8b62e1e830adbd158fba23d1' AS digest,
