@@ -36,7 +36,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .metrics import envelope, ncp_env, value_loss_env
+from .metrics import envelope, ncp_env, seqsum, value_loss_env
 from .sax import MAX_LEVEL, cuts_for_asize, paa, sax2d, ts_to_string, znorm
 
 ROUNDS = 6  # NCP/VL maximization rounds (reference includes/common.py:7)
@@ -139,8 +139,8 @@ def _metric_rows(algorithm: str, hi: np.ndarray, lo: np.ndarray, t: int,
     if algorithm == "naive":
         a = np.abs(np.asarray(gmax, float) - np.asarray(gmin, float))
         mask = a != 0
-        return (((hi - lo) / np.where(mask, a, 1.0)) * mask).sum(axis=1)
-    return np.sqrt((np.square(hi - lo) / t).sum(axis=1))
+        return seqsum(((hi - lo) / np.where(mask, a, 1.0)) * mask, axis=1)
+    return np.sqrt(seqsum(np.square(hi - lo) / t, axis=1))
 
 
 # ---------------------------------------------------------------------------
@@ -194,9 +194,9 @@ def top_down_greedy(
         hi = np.maximum(np.maximum(base, cv), 0.0)  # z/r+ init-0 quirk
         lo = np.minimum(base, cv)
         if algorithm == "naive":
-            m = 2.0 * (((hi - lo) / a_safe) * a_mask).sum(axis=1)
+            m = 2.0 * seqsum(((hi - lo) / a_safe) * a_mask, axis=1)
         else:
-            m = 2.0 * np.sqrt((np.square(hi - lo) / values.shape[1]).sum(axis=1))
+            m = 2.0 * np.sqrt(seqsum(np.square(hi - lo) / values.shape[1], axis=1))
         # reference updates on >=, so the LAST maximum wins
         best_pos = len(m) - 1 - int(np.argmax(m[::-1]))
         r = remaining.pop(best_pos)
@@ -611,7 +611,7 @@ def create_tree(
 def _union_vl_vec(base_hi, base_lo, base_n, envs_hi, envs_lo, envs_n, t) -> np.ndarray:
     hi = np.maximum(base_hi, envs_hi)
     lo = np.minimum(base_lo, envs_lo)
-    return (base_n + envs_n) * np.sqrt((np.square(hi - lo) / t).sum(axis=1))
+    return (base_n + envs_n) * np.sqrt(seqsum(np.square(hi - lo) / t, axis=1))
 
 
 def _find_min_vl(envs_hi, envs_lo, envs_n, ignored: set[int],
@@ -620,7 +620,7 @@ def _find_min_vl(envs_hi, envs_lo, envs_n, ignored: set[int],
     VL of the candidate alone. Strict < (first-min wins), like the
     reference's find_group_with_min_vl."""
     if base is None:
-        vl = envs_n * np.sqrt((np.square(envs_hi - envs_lo) / t).sum(axis=1))
+        vl = envs_n * np.sqrt(seqsum(np.square(envs_hi - envs_lo) / t, axis=1))
     else:
         vl = _union_vl_vec(base.hi, base.lo, base.n, envs_hi, envs_lo, envs_n, t)
     best, best_vl = None, float("inf")

@@ -28,6 +28,20 @@ import numpy as np
 from .sax import paa, reconstruct_paa, znorm
 
 
+
+def seqsum(a: np.ndarray, axis: int | None = None):
+    """Left-to-right sequential float summation (via cumsum), bit-equal
+    to the reference's pure-Python ``acc += term`` loops. np.sum uses
+    pairwise summation above 8 elements, which rounds differently and
+    can flip strict >/< comparisons between near-tied candidates in the
+    greedy clustering — the product golden (tests/test_product_golden)
+    requires the reference's exact rounding at any T."""
+    a = np.asarray(a)
+    if axis is None:
+        flat = a.reshape(-1)
+        return float(flat.cumsum()[-1]) if flat.size else 0.0
+    return a.cumsum(axis=axis).take(-1, axis=axis)
+
 def ncp(values: np.ndarray, gmax: np.ndarray, gmin: np.ndarray) -> float:
     """NCP(T) for a (rows, T) matrix given global per-column bounds.
 
@@ -38,7 +52,7 @@ def ncp(values: np.ndarray, gmax: np.ndarray, gmin: np.ndarray) -> float:
     lo = values.min(axis=0)
     a = np.abs(np.asarray(gmax, dtype=np.float64) - np.asarray(gmin, dtype=np.float64))
     mask = a != 0
-    return len(values) * float(((hi - lo)[mask] / a[mask]).sum())
+    return len(values) * seqsum((hi - lo)[mask] / a[mask])
 
 
 def ncp_env(hi: np.ndarray, lo: np.ndarray, count: int,
@@ -47,7 +61,7 @@ def ncp_env(hi: np.ndarray, lo: np.ndarray, count: int,
     max-with-0 quirk via :func:`envelope`)."""
     a = np.abs(np.asarray(gmax, dtype=np.float64) - np.asarray(gmin, dtype=np.float64))
     mask = a != 0
-    return count * float(((hi - lo)[mask] / a[mask]).sum())
+    return count * seqsum((hi - lo)[mask] / a[mask])
 
 
 def value_loss(values: np.ndarray) -> float:
@@ -59,13 +73,13 @@ def value_loss(values: np.ndarray) -> float:
     hi = np.maximum(values.max(axis=0), 0.0)  # r_plus_i initialized to 0
     lo = values.min(axis=0)
     n = values.shape[1]
-    return len(values) * float(np.sqrt((np.square(hi - lo) / n).sum()))
+    return len(values) * float(np.sqrt(seqsum(np.square(hi - lo) / n)))
 
 
 def value_loss_env(hi: np.ndarray, lo: np.ndarray, count: int) -> float:
     """VL from an envelope summary."""
     n = len(hi)
-    return count * float(np.sqrt((np.square(hi - lo) / n).sum()))
+    return count * float(np.sqrt(seqsum(np.square(hi - lo) / n)))
 
 
 def value_loss_given_bounds(values: np.ndarray, r_plus: np.ndarray,
@@ -77,7 +91,7 @@ def value_loss_given_bounds(values: np.ndarray, r_plus: np.ndarray,
     n = values.shape[1]
     rng2 = np.square(np.asarray(r_plus, dtype=np.float64)
                      - np.asarray(r_minus, dtype=np.float64))
-    return len(values) * float(np.sqrt((rng2 / n).sum()))
+    return len(values) * float(np.sqrt(seqsum(rng2 / n)))
 
 
 def envelope(values: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
@@ -93,7 +107,7 @@ def union_vl(hi_a, lo_a, n_a, hi_b, lo_b, n_b) -> float:
     hi = np.maximum(hi_a, hi_b)
     lo = np.minimum(lo_a, lo_b)
     t = hi.shape[-1]
-    s = np.sqrt((np.square(hi - lo) / t).sum(axis=-1))
+    s = np.sqrt(seqsum(np.square(hi - lo) / t, axis=-1))
     return (n_a + n_b) * s
 
 

@@ -98,32 +98,30 @@ def _anonymize_source(pdf: pd.DataFrame, k: int, p: int, paa: int, l: int,
 
     C.enforce_l_diversity(patterns, sensitive, k_groups, l, rnd)
 
-    out = {
-        "doc_id": [], "source": [], "group_id": [], "sax": [],
-        "as_perturbed": [], "lo": [], "hi": [], "suppressed": [],
-    }
+    # one output row per record, LAST group wins for records the greedy
+    # merge placed in more than one k-group — the reference's bottom-up
+    # can duplicate an id across GL groups (a quirk our kernel
+    # replicates for parity) and its renderer dedupes exactly this way:
+    # final_data_anonymized[key] is overwritten per group in GL order,
+    # suppressed groups overwrite last (anonymized_dataset.py:22-50).
+    # Group envelopes are computed from the FULL member list (including
+    # duplicated members), before the dedup — also reference-exact.
+    rowmap: dict[int, tuple] = {}
     for gi, grp in enumerate(k_groups):
         glo = values[grp].min(axis=0).astype(np.int64)
         ghi = values[grp].max(axis=0).astype(np.int64)
         for r in grp:
-            out["doc_id"].append(ids[r])
-            out["source"].append(source)
-            out["group_id"].append(f"{scope}#{gi}")
-            out["sax"].append(patterns.get(r))
-            out["as_perturbed"].append(sensitive[r])
-            out["lo"].append(glo)
-            out["hi"].append(ghi)
-            out["suppressed"].append(False)
+            rowmap[r] = (ids[r], source, f"{scope}#{gi}", patterns.get(r),
+                         sensitive[r], glo, ghi, False)
     for grp in suppressed_rows:
         for r in grp:
-            out["doc_id"].append(ids[r])
-            out["source"].append(source)
-            out["group_id"].append(None)
-            out["sax"].append(None)
-            out["as_perturbed"].append(None)
-            out["lo"].append(None)
-            out["hi"].append(None)
-            out["suppressed"].append(True)
+            rowmap[r] = (ids[r], source, None, None, None, None, None, True)
+    cols = ["doc_id", "source", "group_id", "sax", "as_perturbed",
+            "lo", "hi", "suppressed"]
+    out: dict[str, list] = {c: [] for c in cols}
+    for r in rowmap.values():
+        for c, v in zip(cols, r):
+            out[c].append(v)
     return pd.DataFrame(out)
 
 
