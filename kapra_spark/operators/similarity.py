@@ -193,6 +193,64 @@ def ivf_assign(corpus: DataFrame, cents: np.ndarray,
             .withColumn("cell", cells(F.col("cvec"))[0]))
 
 
+def ivf_store(corpus: DataFrame, store, table: str, n_cells: int = 64,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              seed: int = 7) -> np.ndarray:
+    """Build the IVF index AT REST: train centroids, assign every
+    corpus row to its cell, and write the assignment PARTITIONED BY
+    ``cell`` through a :class:`~kapra_spark.sources.table_store.
+    TableStore` (Iceberg partition or parquet subdir per cell — the
+    same idempotent-partition contract as every other stored table).
+    Centroids land in ``<table>_centroids`` (n_cells tiny rows).
+    Probes then prune at SCAN time: only nprobe/n_cells of the stored
+    bytes are ever read (see :func:`topk_cosine_ivf_at_rest`)."""
+    cents = ivf_train_centroids(corpus, n_cells, vec_col, seed)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    store.write(assigned, table, partition_cols=["cell"], mode="replace")
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>")
+    store.write(cent_df, f"{table}_centroids", mode="replace")
+    return cents
+
+
+def topk_cosine_ivf_at_rest(store, table: str, queries: DataFrame,
+                            k: int = 10, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            nprobe: int = 8) -> DataFrame:
+    """IVF-flat top-k against a stored :func:`ivf_store` index.
+
+    The probed cell set is computed from the (small, broadcast-sized)
+    query set on the driver and applied as a LITERAL ``cell IN (...)``
+    predicate, so the parquet/Iceberg scan shows partition filters and
+    physically reads only the probed cells' files — the at-scale
+    payoff of partitioning the index by cell. Results are identical to
+    :func:`topk_cosine_ivf` with the same centroids."""
+    cent_rows = store.read(f"{table}_centroids").collect()
+    cents = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
+    for r in cent_rows:
+        cents[r["cell"]] = r["centroid"]
+
+    probes = _cell_udf(cents, nprobe=nprobe)
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qvec"))
+         .withColumn("qnorm", _norm("qvec"))
+         .withColumn("cell", F.explode(probes(F.col("qvec")))))
+    # literal probed-cell set -> partition pruning at the stored scan
+    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    c = store.read(table).filter(F.col("cell").isin(probed))
+    scored = (c.join(F.broadcast(q), "cell")
+              .filter(F.col("corpus_id") != F.col("query_id"))
+              .withColumn("cosine",
+                          dot_col("cvec", "qvec")
+                          / (F.col("cnorm") * F.col("qnorm"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "cosine", "rank"))
+
+
 def topk_cosine_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_cells: int = 64, nprobe: int = 8, seed: int = 7,

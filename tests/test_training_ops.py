@@ -368,3 +368,32 @@ def test_simhash_hot_bucket_guard(spark):
         dups.select("id_a", "id_b"), docs.select("doc_id")).toPandas()
     assert set(clusters["keeper_id"]) == {0}
     dups.unpersist()
+
+
+def test_ivf_at_rest_prunes_partitions(spark, emb, tmp_path):
+    """ivf_store writes the index partitioned by cell; the at-rest
+    probe applies a literal cell IN (...) filter, so the stored scan
+    carries partition filters (reads only probed cells' files) and
+    results equal the in-memory IVF with the same centroids."""
+    from kapra_spark.operators.similarity import (ivf_store,
+                                                  topk_cosine_ivf,
+                                                  topk_cosine_ivf_at_rest)
+    from kapra_spark.sources.table_store import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    cents = ivf_store(emb, store, "ivf_emb", n_cells=16)
+    queries = emb.limit(4)
+
+    at_rest = topk_cosine_ivf_at_rest(store, "ivf_emb", queries,
+                                      k=5, nprobe=4)
+    plan = at_rest._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "cell" in pf and pf.strip() != "", pf
+
+    in_mem = topk_cosine_ivf(emb, queries, k=5, n_cells=16, nprobe=4,
+                             cents=cents)
+    a = {(r.query_id, r.corpus_id, r.rank) for r in at_rest.collect()}
+    b = {(r.query_id, r.corpus_id, r.rank) for r in in_mem.collect()}
+    assert a == b

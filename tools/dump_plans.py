@@ -111,6 +111,32 @@ def main() -> None:
               lambda s: "\n".join(l for l in s.splitlines()
                                   if re.search(r"PushedFilters|ReadSchema|Filter|Scan", l))[:1200])
 
+    import tempfile
+
+    from kapra_spark.operators.similarity import (ivf_store,
+                                                  topk_cosine_ivf_at_rest)
+    from kapra_spark.sources.table_store import TableStore
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    store = TableStore(spark, tempfile.mkdtemp(prefix="ks_plans_ivf_"))
+    ivf_store(emb, store, "ivf_emb", n_cells=16)
+    at_rest = topk_cosine_ivf_at_rest(store, "ivf_emb", emb.limit(4),
+                                      k=5, nprobe=4)
+    p = plan_of(at_rest)
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    ok &= add("IVF at rest — probe scan prunes to the probed cells only",
+              at_rest,
+              [("stored index scanned with PartitionFilters on cell",
+                pf is not None and "cell" in pf.group(1)),
+               ("literal probed-cell set predicate (INSET — scan-time "
+                "pruning, reads nprobe/n_cells of the stored bytes)",
+                pf is not None and ("INSET" in pf.group(1)
+                                    or "IN (" in pf.group(1))),
+               ("skew-free rerank: single broadcast join on cell",
+                "BroadcastHashJoin" in p)],
+              lambda s: "\n".join(l for l in s.splitlines()
+                                  if re.search(r"PartitionFilters|Scan|Join", l))[:1400])
+
     header = """# PLANS.md — physical-plan evidence
 
 Generated by `python tools/dump_plans.py` (re-run any time). Each
