@@ -67,16 +67,39 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    queries: list[tuple[str, object]] = []
 
     def timed(name: str, fn, repeats: int = 1) -> None:
-        # the sandbox VM's throughput drifts; repeats>1 reports the min
-        best = None
-        for _ in range(repeats):
-            t0 = time.time()
-            fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        # registration only; execution is interleaved in rounds below
+        # (BENCH/run_scaling.py methodology: this VM's throughput is
+        # bimodal on a minutes scale, so per-query sequential repeats
+        # can pin one query entirely inside a degraded phase — rounds
+        # that cycle through ALL queries straddle phases, and the
+        # per-query MIN across rounds estimates the uncontended time;
+        # interference only ever ADDS wall time)
+        queries.append((name, fn))
+
+    def box_speed_index() -> float:
+        """1-s single-thread NumPy probe (Mops/s) — drift detector."""
+        import numpy as np
+        a = np.arange(1 << 16, dtype=np.int64)
+        n, t_end = 0, time.time() + 0.5
+        while time.time() < t_end:
+            (a * 3 + 1).sum()
+            n += a.size
+        return round(n / (time.time() - t_end + 0.5) / 1e6, 1)
+
+    def run_rounds(rounds: int) -> None:
+        probes = []
+        for _ in range(rounds):
+            probes.append(box_speed_index())
+            for name, fn in queries:
+                t0 = time.time()
+                fn()
+                dt = time.time() - t0
+                if name not in timings or dt < timings[name]:
+                    timings[name] = round(dt, 3)
+        extras["box_index_per_round"] = probes
 
     tokens = spark.read.parquet(tokens_path)
     total_points = n_series * n_tok
@@ -91,16 +114,14 @@ def main() -> None:
         rows = R.cascade_fast(tokens).groupBy("tier").count().collect()
         extras["rollup_rows_fast"] = int(sum(r["count"] for r in rows))
 
-    timed("tokens_cascade_fast", q_fast, repeats=2)
-    extras["points_per_sec_fast"] = round(total_points / timings["tokens_cascade_fast"], 1)
+    timed("tokens_cascade_fast", q_fast)
 
     # q2: long-form cascade (single-shuffle plan), materialize 1d tier
     def q_long():
         tiers = R.cascade(tokens)
         extras["rollup_rows_1d"] = tiers["1d"].count()
 
-    timed("tokens_cascade_longform", q_long, repeats=2)
-    extras["points_per_sec_longform"] = round(total_points / timings["tokens_cascade_longform"], 1)
+    timed("tokens_cascade_longform", q_long)
 
     # q2b: production path — 1m tier as Gorilla blocks + 1h/1d rows
     from pyspark.sql import functions as F
@@ -114,9 +135,7 @@ def main() -> None:
         extras["gorilla_bits_per_point"] = round(st["b"] * 8 / st["p"], 2)
         R.cascade_fast(tokens, tiers=("1h", "1d")).groupBy("tier").count().collect()
 
-    timed("tokens_compress_plus_rollup", q_prod, repeats=2)
-    extras["points_per_sec_production"] = round(
-        total_points / timings["tokens_compress_plus_rollup"], 1)
+    timed("tokens_compress_plus_rollup", q_prod)
 
     # q2c: FUSED production path — blocks + tiers in ONE scan/Arrow pass
     from kapra_spark.operators.compress import compress_and_cascade
@@ -127,20 +146,28 @@ def main() -> None:
             F.count("*").alias("rows"),
             F.sum(F.length("payload")).alias("bytes")).collect()
 
-    timed("tokens_production_fused", q_fused, repeats=2)
-    extras["points_per_sec_production_fused"] = round(
-        total_points / timings["tokens_production_fused"], 1)
+    timed("tokens_production_fused", q_fused)
 
     # q3/q4: events rollup + gap-fill on driver testdata
-    timed("events_rollup_1h", lambda: E.q_rollup_1h_events(spark, sf_dir).count(), repeats=2)
-    timed("events_gapfill_locf", lambda: E.q_gapfill_locf_events(spark, sf_dir).count(), repeats=2)
+    timed("events_rollup_1h", lambda: E.q_rollup_1h_events(spark, sf_dir).count())
+    timed("events_gapfill_locf", lambda: E.q_gapfill_locf_events(spark, sf_dir).count())
 
     # q5/q6: envelope + VL group aggregates on lineitem
-    timed("envelope_groups", lambda: E.q_envelope_groups(spark, sf_dir).count(), repeats=2)
-    timed("vl_groups", lambda: E.q_vl_groups(spark, sf_dir).count(), repeats=2)
+    timed("envelope_groups", lambda: E.q_envelope_groups(spark, sf_dir).count())
+    timed("vl_groups", lambda: E.q_vl_groups(spark, sf_dir).count())
 
     # q7: broadcast join
-    timed("join_broadcast", lambda: E.q_join_broadcast(spark, sf_dir).count(), repeats=2)
+    timed("join_broadcast", lambda: E.q_join_broadcast(spark, sf_dir).count())
+
+    run_rounds(int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3")))
+    extras["points_per_sec_fast"] = round(
+        total_points / timings["tokens_cascade_fast"], 1)
+    extras["points_per_sec_longform"] = round(
+        total_points / timings["tokens_cascade_longform"], 1)
+    extras["points_per_sec_production"] = round(
+        total_points / timings["tokens_compress_plus_rollup"], 1)
+    extras["points_per_sec_production_fused"] = round(
+        total_points / timings["tokens_production_fused"], 1)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
