@@ -55,8 +55,12 @@ N_TOK = 144
 MAX_CORES = 32
 CORE_LEVELS = tuple(int(x) for x in os.environ.get(
     "SCALING_LEVELS", "4,8,16,32").split(","))
-PAIRS = tuple((lo, lo * 4) for lo in (4, 8) if lo in CORE_LEVELS
+PAIRS = tuple((lo, lo * 4) for lo in (2, 4, 8) if lo in CORE_LEVELS
               and lo * 4 in CORE_LEVELS)
+#: which engine paths a trial times (skip longform at local[2]: this
+#: VM runs 2-core window cascades pathologically slowly — see memory
+#: note in BENCH/BASELINE.md r1)
+PATHS = tuple(os.environ.get("SCALING_PATHS", "prod,long,fused").split(","))
 
 
 def _dir_bytes(path: str) -> int:
@@ -133,19 +137,22 @@ def trial(cpus: int, tokens_path: str, reps: int = 6
     prods, longs, fuseds, bsis = [], [], [], []
     for _ in range(reps):
         bsis.append(box_speed_index())
-        t0 = time.time()
-        compress_tokens(tokens).agg(F.sum(F.length("payload"))).collect()
-        R.cascade_fast(tokens, tiers=("1h", "1d")).groupBy("tier").count().collect()
-        prods.append(round(time.time() - t0, 2))
+        if "prod" in PATHS:
+            t0 = time.time()
+            compress_tokens(tokens).agg(F.sum(F.length("payload"))).collect()
+            R.cascade_fast(tokens, tiers=("1h", "1d")).groupBy("tier").count().collect()
+            prods.append(round(time.time() - t0, 2))
 
-        t0 = time.time()
-        compress_and_cascade(tokens).agg(
-            F.count("*"), F.sum(F.length("payload"))).collect()
-        fuseds.append(round(time.time() - t0, 2))
+        if "fused" in PATHS:
+            t0 = time.time()
+            compress_and_cascade(tokens).agg(
+                F.count("*"), F.sum(F.length("payload"))).collect()
+            fuseds.append(round(time.time() - t0, 2))
 
-        t0 = time.time()
-        R.cascade(tokens)["1d"].count()
-        longs.append(round(time.time() - t0, 2))
+        if "long" in PATHS:
+            t0 = time.time()
+            R.cascade(tokens)["1d"].count()
+            longs.append(round(time.time() - t0, 2))
 
     spark.stop()
     return prods, longs, fuseds, bsis
@@ -269,16 +276,16 @@ def write_report(n_series: int, n_samples: int,
                  run_calibration: bool = True) -> None:
     levels = sorted(results)
     points = n_series * N_TOK
-    med = {c: {k: statistics.median(v) for k, v in results[c].items()}
+    med = {c: {k: statistics.median(v) for k, v in results[c].items() if v}
            for c in levels}
     # On a shared VM every interference mechanism (CPU steal, DRAM
     # contention from neighbors, scheduler delay) only ADDS wall time,
     # so the per-config minimum over interleaved rounds is the best
     # estimator of the uncontended time; medians + IQR shown alongside
     # for honesty about the spread.
-    mins = {c: {k: min(v) for k, v in results[c].items()}
+    mins = {c: {k: min(v) for k, v in results[c].items() if v}
             for c in levels}
-    spread = {c: {k: round(_iqr(v), 2) for k, v in results[c].items()}
+    spread = {c: {k: round(_iqr(v), 2) for k, v in results[c].items() if v}
               for c in levels}
     thr = {c: {k: round(points / mins[c][k], 1)
                for k in ("prod", "long", "fused") if k in mins[c]}
@@ -307,8 +314,7 @@ def write_report(n_series: int, n_samples: int,
         for k, path in (("prod", "production (Gorilla 1m blocks + 1h/1d cascade)"),
                         ("fused", "production FUSED (one scan: blocks + tiers)"),
                         ("long", "longform (declarative cascade, 1 shuffle)"))
-        if k in mins[levels[0]]
-        for c in levels)
+        for c in levels if k in mins[c])
 
     eff_rows = "\n".join(
         f"| {label} | {lo}->{hi} | {eff(k, lo, hi):.3f} | "
@@ -316,8 +322,7 @@ def write_report(n_series: int, n_samples: int,
         f"{eff(k, lo, hi) / cal_eff('alu' if k == 'long' else 'encode_kernel', lo, hi):.3f} |"
         for k, label in (("prod", "production"),
                          ("fused", "production-fused"), ("long", "longform"))
-        if k in mins[levels[0]]
-        for lo, hi in pairs)
+        for lo, hi in pairs if k in mins[lo] and k in mins[hi])
 
     cal_rows = "\n".join(
         f"| {name} | " + " | ".join(str(cal[name][c]) for c in levels)
