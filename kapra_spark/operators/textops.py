@@ -38,7 +38,6 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens = F.size(toks)
     n_punct = n_chars - F.length(F.regexp_replace(txt, r"[\p{Punct}]", ""))
     n_digit = n_chars - F.length(F.regexp_replace(txt, r"[0-9]", ""))
-    en = [F.lit(w) for w in STOPWORDS["en"]]
     n_stop = F.size(F.filter(F.transform(toks, lambda w: F.lower(w)),
                              lambda w: w.isin([s for s in STOPWORDS["en"]])))
     avg_word_len = (n_chars - (n_tokens - 1)) / F.greatest(n_tokens, F.lit(1))

@@ -119,3 +119,43 @@ def test_fused_pipeline_matches_unfused(spark, tmp_path):
     s2 = run_rollup_pipeline(spark, tokens, b2, run_id="b", fused=True)
     assert s2["fused"]["written_partitions"] == 0
     assert s2["fused"]["skipped_partitions"] > 0
+
+
+def test_fused_retention_matches_unfused(spark, tmp_path):
+    """fused=True applies the SAME per-tier retention horizon as the
+    unfused path (ADVICE r2 #1): with a horizon that expires part of
+    the 1h tier, the fused kind partitions equal the unfused tier
+    tables row-for-row, and resume stays idempotent."""
+    from pyspark.sql import functions as F
+
+    from kapra_spark import datagen
+    from kapra_spark.operators.rollup import EPOCH_SECONDS
+    from kapra_spark.plans.rollup_plan import run_rollup_pipeline
+
+    pdf = datagen.tokens_pdf(50, n_tok=144, seed=9, gap_fraction=0.05)
+    tokens = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+    # tokens span 3 one-hour buckets; put the 1h horizon between
+    # bucket 0 and bucket 1 => partial expiry
+    now = EPOCH_SECONDS + 90 * 24 * 3600 + 5400
+
+    b1, b2 = str(tmp_path / "unfused"), str(tmp_path / "fused")
+    run_rollup_pipeline(spark, tokens, b1, run_id="r",
+                        now_bucket_seconds=now)
+    s = run_rollup_pipeline(spark, tokens, b2, run_id="r",
+                            now_bucket_seconds=now, fused=True)
+    assert s["fused"]["written_partitions"] > 0
+
+    fused = spark.read.parquet(f"{b2}/fused")
+    for tier in ("1h", "1d"):
+        a = spark.read.parquet(f"{b1}/tier_{tier}")
+        b = fused.filter(F.col("kind") == tier).select(*a.columns)
+        assert a.count() == b.count()
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+    # retention actually pruned the 1h tier (1 of 3 buckets kept)
+    n_1h = fused.filter(F.col("kind") == "1h").count()
+    assert n_1h == 50
+
+    s2 = run_rollup_pipeline(spark, tokens, b2, run_id="r2",
+                             now_bucket_seconds=now, fused=True)
+    assert s2["fused"]["written_partitions"] == 0
