@@ -489,6 +489,30 @@ def q_asof_join_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _r4("r_cp_sum").alias("cp_sum"))
 
 
+def q_asof_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of semantics through the HOT-KEY path: (by, coarse
+    time-bucket) pre-partition + carry rows (joins.py
+    skew_bucket_seconds). Verified against the same DuckDB ASOF JOIN
+    ground truth as the global-window formulation — hash equality
+    proves the mitigation is exact, not approximately so."""
+    from kapra_spark.operators.joins import asof_join
+    from kapra_spark.operators.rollup import events_rollup
+
+    ev = _read(spark, sf_dir, "events")
+    cp = (events_rollup(ev, 3600)
+          .filter(F.col("cnt") >= 5)
+          .select(F.col("series").alias("event_type"),
+                  F.col("bucket").alias("cp_bucket"),
+                  F.timestamp_seconds("bucket").alias("cp_ts"),
+                  F.col("sum").alias("cp_sum")))
+    j = asof_join(ev.select("event_id", "event_type", "ts"), cp,
+                  by="event_type", left_ts="ts", right_ts="cp_ts",
+                  skew_bucket_seconds=6 * 3600)
+    return j.select("event_id", "event_type",
+                    F.col("r_cp_bucket").alias("cp_bucket"),
+                    _r4("r_cp_sum").alias("cp_sum"))
+
+
 def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (point-in-interval) join: per-type event counts inside two
     deterministic maintenance windows derived from the data's min day.
@@ -660,6 +684,41 @@ def q_streaming_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(mismatch.cast("long")).alias("n_mismatches"))
 
 
+def q_tree_dist_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3(ii) distributed create-tree as a driver-checkable constant:
+    build the pattern tree with the BFS driver-loop operator AND the
+    in-memory recursive kernel on the same deterministic table, and
+    count disagreements (computed in-query — the oracle pins them at
+    zero, plus the leaf/row totals)."""
+    import numpy as np
+
+    from kapra_spark import datagen
+    from kapra_spark.functions import clustering as C
+    from kapra_spark.operators.tree_dist import create_tree_distributed
+
+    pdf = datagen.tokens_pdf(300, n_tok=13, seed=11, gap_fraction=0.0)
+    tokens = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+    res = create_tree_distributed(tokens, 4, 4).toPandas()
+
+    mat = np.stack(pdf["tokens"].to_numpy()).astype(np.float64)[:, :-1]
+    good, bad = [], []
+    C.split_node(mat, list(range(len(mat))), 1, "a" * 4, 4, 4, 5, good, bad)
+    ids = list(pdf["doc_id"])
+    expect = set()
+    for leaf, label in ([(g, "good-leaf") for g in good]
+                        + [(b, "bad-leaf") for b in bad]):
+        expect.add((leaf.level, leaf.pattern, label,
+                    frozenset(ids[r] for r in leaf.rows)))
+    got = set()
+    for (leaf_id, level, pattern, label), grp in res.groupby(
+            ["leaf_id", "level", "pattern", "label"]):
+        got.add((int(level), pattern, label, frozenset(grp["doc_id"])))
+    n_leaf_mismatch = len(got ^ expect)
+    return spark.createDataFrame(
+        [(len(res), len(got), n_leaf_mismatch)],
+        "n_rows long, n_leaves long, n_leaf_mismatch long")
+
+
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S2/S5 as one self-verifying constant: deterministic tokens ->
     wide CSV (the reference's input shape, io.py:114-134) ->
@@ -767,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_suppressed": q_union_suppressed,
         "max_by_argmax": q_max_by_argmax,
         "asof_join_checkpoints": q_asof_join_checkpoints,
+        "asof_join_skewed": q_asof_join_skewed,
         "range_join_windows": q_range_join_windows,
         "envelope_render": q_envelope_render,
         # training-data pipeline operators
@@ -785,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_rollup_parity": q_streaming_rollup_parity,
         "lineage_resume": q_lineage_resume,
         "csv_roundtrip": q_csv_roundtrip,
+        "tree_dist_parity": q_tree_dist_parity,
         # non-SQL-expressible (rows-only driver check + pytest goldens)
         "kp_anonymize_kapra": q_kp_anonymize_kapra,
         "kp_anonymize_naive": q_kp_anonymize_naive,
@@ -960,6 +1021,21 @@ def oracle_sql() -> dict[str, str]:
               ON e.event_type = cp.event_type
              AND epoch(e.ts) >= cp.cp_bucket
         """,
+        "asof_join_skewed": """
+            WITH cp AS (
+              SELECT event_type,
+                     (floor(epoch(ts))::BIGINT // 3600) * 3600 AS cp_bucket,
+                     sum(value) AS cp_sum
+              FROM events GROUP BY 1, 2
+              HAVING count(value) >= 5
+            )
+            SELECT e.event_id, e.event_type,
+                   cp.cp_bucket, round(cp.cp_sum, 4) AS cp_sum
+            FROM events e
+            ASOF JOIN cp
+              ON e.event_type = cp.event_type
+             AND epoch(e.ts) >= cp.cp_bucket
+        """,
         "envelope_render": """
             SELECT l_returnflag, l_linestatus,
                    format('[{}|{}]', min(l_quantity)::BIGINT::VARCHAR,
@@ -1066,6 +1142,11 @@ def oracle_sql() -> dict[str, str]:
         # pinned digests: deterministic-but-not-SQL-expressible
         # operators, content-hashed (semantics pinned to the reference
         # by the pytest parity suites; these rows pin them to the driver)
+        "tree_dist_parity": """
+            SELECT CAST(300 AS BIGINT) AS n_rows,
+                   CAST(56 AS BIGINT) AS n_leaves,
+                   CAST(0 AS BIGINT) AS n_leaf_mismatch
+        """,
         "csv_roundtrip": """
             SELECT CAST(120 AS BIGINT) AS n_rows,
                    '3295d96a97115c871a5ac7fc90eecce1' AS digest,
