@@ -684,6 +684,26 @@ def q_streaming_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(mismatch.cast("long")).alias("n_mismatches"))
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode + feature extraction with the REAL stdlib
+    codecs (PNG chunk/zlib/unfilter decode, WAV PCM16 decode) over a
+    deterministic table of valid payloads; video goes through the
+    loudly-stubbed path. Digest-pinned (rows-only): decode exactness
+    is carried by the round-trip pytests in test_training_ops.py."""
+    from kapra_spark.operators.multimodal import (extract_features,
+                                                  real_decoder,
+                                                  synthetic_media_df)
+
+    media = synthetic_media_df(spark, n=24)
+    out = extract_features(media, decoder=real_decoder)
+    flat = out.select(
+        "media_id", "kind", "n_bytes",
+        F.transform("feature",
+                    lambda x: F.round(x.cast("double"), 4))
+        .cast("string").alias("feat_s"))
+    return _digest(flat, ["media_id", "kind", "n_bytes", "feat_s"])
+
+
 def q_tree_dist_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3(ii) distributed create-tree as a driver-checkable constant:
     build the pattern tree with the BFS driver-loop operator AND the
@@ -846,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_resume": q_lineage_resume,
         "csv_roundtrip": q_csv_roundtrip,
         "tree_dist_parity": q_tree_dist_parity,
+        "media_features": q_media_features,
         # non-SQL-expressible (rows-only driver check + pytest goldens)
         "kp_anonymize_kapra": q_kp_anonymize_kapra,
         "kp_anonymize_naive": q_kp_anonymize_naive,
@@ -1142,6 +1163,10 @@ def oracle_sql() -> dict[str, str]:
         # pinned digests: deterministic-but-not-SQL-expressible
         # operators, content-hashed (semantics pinned to the reference
         # by the pytest parity suites; these rows pin them to the driver)
+        "media_features": """
+            SELECT CAST(24 AS BIGINT) AS n_rows,
+                   '433ab24807f30f79a549a07d286e27dc' AS digest
+        """,
         "tree_dist_parity": """
             SELECT CAST(300 AS BIGINT) AS n_rows,
                    CAST(56 AS BIGINT) AS n_leaves,

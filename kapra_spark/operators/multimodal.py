@@ -1,15 +1,29 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The container ships no codec libraries, so the decode kernels are
-STUBBED (deterministic fake decode, clearly marked) — but all the
-Spark-side machinery is real and tested: schema, partition-friendly
-layout, Arrow batch shapes, UDF signatures, frame sampling, and
-feature extraction run exactly as they would with a real decoder
+Decoders (round-3 state):
+
+- **PNG images — REAL decode**, pure stdlib: chunk parse + zlib
+  inflate + full scanline unfilter (None/Sub/Up/Average/Paeth) for
+  8-bit gray/RGB/RGBA. No external codec needed.
+- **WAV audio — REAL decode** via the stdlib ``wave`` module
+  (PCM16 -> float32 mono waveform).
+- **video — STUBBED** (deterministic fake, clearly marked): there is
+  no stdlib MP4/H.264 decoder and the container ships no codec libs.
+  The frame-sampling planner and all Spark plumbing are real.
+
+All the Spark-side machinery is real and tested either way: schema,
+partition-friendly layout, Arrow batch shapes, UDF signatures, frame
+sampling, and feature extraction run identically with any decoder
 swapped in (the ``decoder`` argument).
 """
 
 from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -55,6 +69,176 @@ def fake_media_df(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# REAL codecs (stdlib-only)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+
+
+def png_encode(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer (8-bit gray/RGB/RGBA, no interlace).
+    ``filter_type`` applies one scanline filter to every row — useful
+    to exercise the decoder's unfilter paths in tests."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+
+    raw = bytearray()
+    prev = np.zeros((w, ch), dtype=np.int64)
+    for y in range(h):
+        row = img[y].astype(np.int64)
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:   # Sub
+            left = np.vstack([np.zeros((1, ch), np.int64), row[:-1]])
+            filt = (row - left) % 256
+        elif filter_type == 2:   # Up
+            filt = (row - prev) % 256
+        else:
+            raise ValueError("encoder supports filter 0/1/2")
+        raw.append(filter_type)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """REAL PNG decode, stdlib-only: chunk walk, zlib inflate, full
+    unfilter (None/Sub/Up/Average/Paeth). Supports 8-bit gray/RGB/RGBA,
+    no interlace — the shapes a training pipeline normalizes to
+    anyway. Returns (h, w, ch) uint8."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, meta = 8, bytearray(), None
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, _, _, interlace = meta
+    if depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"png_decode handles 8-bit gray/RGB/RGBA non-interlaced "
+            f"(got depth={depth}, color_type={color_type}, "
+            f"interlace={interlace})")
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1).astype(np.int64)
+        if f == 0:
+            cur = line
+        elif f == 2:     # Up
+            cur = (line + prev) % 256
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-sequential
+            cur = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = prev[i - ch] if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                cur[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, ch)
+
+
+def wav_encode(samples: np.ndarray, rate: int = 16000,
+               channels: int = 1) -> bytes:
+    """PCM16 WAV writer (stdlib ``wave``); ``samples`` float in [-1, 1]
+    shaped (n,) or (n, channels)."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    pcm = np.clip(np.round(s * 32767.0), -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(s.shape[1] if channels is None else channels)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL WAV decode via stdlib ``wave``: PCM16 -> (float32 mono
+    waveform in [-1, 1], sample_rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        n, chans, width, rate = (f.getnframes(), f.getnchannels(),
+                                 f.getsampwidth(), f.getframerate())
+        if width != 2:
+            raise NotImplementedError(f"PCM16 only (sampwidth={width})")
+        pcm = np.frombuffer(f.readframes(n), dtype="<i2")
+    x = pcm.reshape(-1, chans).mean(axis=1) / 32768.0
+    return x.astype(np.float32), rate
+
+
+def real_decoder(payload: bytes, kind: str) -> np.ndarray:
+    """Production decode dispatch: REAL for PNG images and WAV audio
+    (stdlib codecs above); video falls back to :func:`stub_decoder`
+    (no stdlib MP4 decoder exists — loudly stubbed, swappable).
+
+    Features (all computed from actually-decoded samples/pixels):
+    image -> [h, w, ch, mean, std] + 11-bin gray histogram (16 dims);
+    audio -> [dur_s, rms, zero-cross rate] + 13-bin FFT magnitude
+    spectrum (16 dims)."""
+    if kind == "image":
+        img = png_decode(payload).astype(np.float32)
+        gray = img.mean(axis=2)
+        hist, _ = np.histogram(gray, bins=11, range=(0, 256))
+        head = np.array([img.shape[0], img.shape[1], img.shape[2],
+                         float(img.mean()), float(img.std())], np.float32)
+        return np.concatenate(
+            [head, (hist / max(1, gray.size)).astype(np.float32)])
+    if kind == "audio":
+        x, rate = wav_decode(payload)
+        zc = float(np.mean(np.abs(np.diff(np.signbit(x)))))
+        spec = np.abs(np.fft.rfft(x.astype(np.float64)))
+        hist = np.interp(np.linspace(0, len(spec) - 1, 13),
+                         np.arange(len(spec)), spec)
+        head = np.array([len(x) / rate,
+                         float(np.sqrt(np.mean(x ** 2))), zc], np.float32)
+        denom = max(1e-9, float(hist.max()))
+        return np.concatenate([head, (hist / denom).astype(np.float32)])
+    if kind == "video":
+        return stub_decoder(payload, kind)
+    raise NotImplementedError(f"no decoder for kind={kind!r}")
+
+
 def stub_decoder(payload: bytes, kind: str) -> np.ndarray:
     """STUB decode — the real pipeline would call PIL/librosa/ffmpeg
     here. Deterministic fake: interpret bytes as a uint8 stream and
@@ -65,6 +249,43 @@ def stub_decoder(payload: bytes, kind: str) -> np.ndarray:
     b = np.frombuffer(payload, dtype=np.uint8)
     hist, _ = np.histogram(b, bins=8, range=(0, 256))
     return (hist / max(1, len(b))).astype(np.float32)
+
+
+def synthetic_media_df(spark: SparkSession, n: int = 24,
+                       seed: int = 42) -> DataFrame:
+    """Deterministic media table with REAL payloads: valid PNGs
+    (random small images, rotating scanline filters) and valid PCM16
+    WAVs (seeded sine + noise); video stays seeded opaque bytes (its
+    decode is the stubbed one). Metadata columns are truthful."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            h, w = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+            ch = [1, 3, 4][i % 9 // 3]
+            img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+            payload = png_encode(img, filter_type=(i // 3) % 3)
+            rows.append((f"m{i:06d}", kind, "image/png", w, h, None,
+                         payload))
+        elif kind == "audio":
+            rate = 8000
+            dur = float(rng.uniform(0.1, 0.5))
+            t = np.arange(int(rate * dur)) / rate
+            freq = float(rng.uniform(100, 1000))
+            x = (0.5 * np.sin(2 * np.pi * freq * t)
+                 + 0.05 * rng.standard_normal(len(t)))
+            payload = wav_encode(np.clip(x, -1, 1), rate=rate)
+            rows.append((f"m{i:06d}", kind, "audio/wav", None, None,
+                         int(dur * 1000), payload))
+        else:
+            size = int(rng.integers(256, 2048))
+            payload = bytes(rng.integers(0, 256, size=size, dtype=np.uint8))
+            rows.append((f"m{i:06d}", kind, "video/mp4",
+                         int(rng.integers(32, 1024)),
+                         int(rng.integers(32, 1024)),
+                         int(rng.integers(1000, 60000)), payload))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
 def extract_features(media_df: DataFrame, decoder=stub_decoder,
