@@ -221,7 +221,8 @@ def _iqr(xs: list[float]) -> float:
 def main() -> None:
     n_series = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-    tokens_path = os.path.join(REPO, ".bench_data", f"tokens_{n_series}_{N_TOK}")
+    tokens_path = os.path.join(REPO, ".bench_data",
+                               f"tokens_{n_series}_{N_TOK}_f1")
 
     if not os.path.exists(os.path.join(tokens_path, "_SUCCESS")):
         from kapra_spark import datagen
@@ -229,7 +230,7 @@ def main() -> None:
 
         spark = get_spark("gen", master="local[32]")
         spark.sparkContext.setLogLevel("ERROR")
-        datagen.tokens_df(spark, n_series, n_tok=N_TOK,
+        datagen.tokens_df(spark, n_series, n_tok=N_TOK, fast=True,
                           partitions=max(96, n_series // 10_000)) \
             .write.mode("overwrite").parquet(tokens_path)
         spark.stop()

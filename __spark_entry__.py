@@ -76,6 +76,23 @@ def q_cascade_1d_from_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _r4("max").alias("max_v"))
 
 
+def q_retention_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention (downsample-and-expire, rollup.apply_retention): 1m
+    rollup of events, keeping only the trailing day of buckets relative
+    to the newest bucket present (explicit deterministic `now`). The
+    horizon filter is a bucket-column predicate, so on a
+    bucket-partitioned store it prunes partitions instead of scanning."""
+    from kapra_spark.operators.rollup import apply_retention, events_rollup
+
+    tier = events_rollup(_read(spark, sf_dir, "events"), 60)
+    now_bucket = tier.agg(F.max("bucket")).collect()[0][0]
+    kept = apply_retention(tier, "1m", now_bucket_seconds=int(now_bucket),
+                           policy={"1m": 1440})
+    return kept.select("series", "bucket", "cnt",
+                       _r4("sum").alias("sum_v"), _r4("min").alias("min_v"),
+                       _r4("max").alias("max_v"))
+
+
 def q_gapfill_locf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kapra_spark.operators.rollup import events_gapfill
 
@@ -830,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h_events": q_rollup_1h_events,
         "rollup_1d_events": q_rollup_1d_events,
         "cascade_1d_from_1h": q_cascade_1d_from_1h,
+        "retention_1m": q_retention_1m,
         "gapfill_locf_events": q_gapfill_locf_events,
         "row_number_rank": q_row_number_rank,
         "limit_events": q_limit_events,
@@ -909,6 +927,19 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1h_events": rollup.format(sec=3600),
         "rollup_1d_events": rollup.format(sec=86400),
         "cascade_1d_from_1h": rollup.format(sec=86400),
+        "retention_1m": """
+            WITH t AS (
+              SELECT event_type AS series,
+                     (floor(epoch(ts))::BIGINT // 60) * 60 AS bucket,
+                     count(value) AS cnt,
+                     round(sum(value), 4) AS sum_v,
+                     round(min(value), 4) AS min_v,
+                     round(max(value), 4) AS max_v
+              FROM events GROUP BY 1, 2
+            ), m AS (SELECT max(bucket) AS mx FROM t)
+            SELECT series, bucket, cnt, sum_v, min_v, max_v
+            FROM t, m WHERE bucket >= mx - 1440 * 60
+        """,
         "gapfill_locf_events": """
             WITH actual AS (
               SELECT event_type AS series,

@@ -27,14 +27,19 @@ def _sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
-def ensure_tokens(spark, n: int, n_tok: int, path: str) -> None:
+def ensure_tokens(spark, n: int, n_tok: int, path: str) -> float:
+    """Generate the bench tokens table if absent; returns the wall
+    seconds spent generating (0.0 when the cached copy is reused).
+    Uses the vectorized counter-stream generator (datagen fast path)."""
     if os.path.exists(os.path.join(path, "_SUCCESS")):
-        return
+        return 0.0
     from kapra_spark import datagen
 
     parts = max(64, n // 10_000)
-    datagen.tokens_df(spark, n, n_tok=n_tok, partitions=parts) \
+    t0 = time.time()
+    datagen.tokens_df(spark, n, n_tok=n_tok, partitions=parts, fast=True) \
         .write.mode("overwrite").parquet(path)
+    return round(time.time() - t0, 3)
 
 
 def main() -> None:
@@ -59,8 +64,8 @@ def main() -> None:
     n_series = max(1000, int(1_000_000 * sf))
     n_tok = 144
     tokens_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".bench_data", f"tokens_{n_series}_{n_tok}")
-    ensure_tokens(spark, n_series, n_tok, tokens_path)
+                               ".bench_data", f"tokens_{n_series}_{n_tok}_f1")
+    setup_gen_sec = ensure_tokens(spark, n_series, n_tok, tokens_path)
 
     import __spark_entry__ as E
     from kapra_spark.operators import rollup as R
@@ -69,7 +74,7 @@ def main() -> None:
     extras: dict[str, float] = {}
     queries: list[tuple[str, object]] = []
 
-    def timed(name: str, fn, repeats: int = 1) -> None:
+    def timed(name: str, fn) -> None:
         # registration only; execution is interleaved in rounds below
         # (BENCH/run_scaling.py methodology: this VM's throughput is
         # bimodal on a minutes scale, so per-query sequential repeats
@@ -159,7 +164,27 @@ def main() -> None:
     # q7: broadcast join
     timed("join_broadcast", lambda: E.q_join_broadcast(spark, sf_dir).count())
 
-    run_rounds(int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3")))
+    # clamp to >= 1: ROUNDS=0 would leave `timings` empty and the
+    # points_per_sec extras below would KeyError
+    run_rounds(max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))))
+
+    # PNG decode throughput (directive: measured MB/s for the
+    # vectorized unfilter) — one 256x256 RGB image per filter type
+    # 0/1/2, decoded in a loop for ~0.4 s
+    from kapra_spark.operators.multimodal import png_decode, png_encode
+    import numpy as np
+
+    img = (np.arange(256 * 256 * 3, dtype=np.int64) * 2654435761 % 256) \
+        .astype(np.uint8).reshape(256, 256, 3)
+    pngs = [png_encode(img, filter_type=ft) for ft in (0, 1, 2)]
+    raw_mb = img.nbytes / 1e6
+    n_dec, t_end = 0, time.time() + 0.4
+    t0 = time.time()
+    while time.time() < t_end:
+        for p in pngs:
+            png_decode(p)
+        n_dec += len(pngs)
+    extras["png_decode_mbps"] = round(n_dec * raw_mb / (time.time() - t0), 1)
     extras["points_per_sec_fast"] = round(
         total_points / timings["tokens_cascade_fast"], 1)
     extras["points_per_sec_longform"] = round(
@@ -177,6 +202,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cpus": cpus,
+        "setup_gen_sec": setup_gen_sec,
         "n_series": n_series,
         "n_tok": n_tok,
         **extras,

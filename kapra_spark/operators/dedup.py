@@ -260,41 +260,48 @@ def cluster_pairs(pairs: DataFrame, all_ids: DataFrame,
     label(u) <- label(label(u)), so convergence is O(log diameter)
     rounds, not O(diameter). Every round ends in ``localCheckpoint``:
     the plan depth stays constant across iterations and no cached
-    frames leak. Warns if the budget is exhausted before convergence
-    (labels are then still a valid partition refinement, just possibly
-    split across multiple keepers)."""
+    frames leak. Convergence detection is folded into the round itself:
+    a ``_moved`` flag (new label != old label) is computed inside the
+    same plan the checkpoint materializes — the old label is already in
+    hand, so this costs no join and no extra shuffle — and the check is
+    an ``isEmpty()`` early-exit scan over the just-checkpointed blocks
+    (the previous implementation re-joined old and new labels and ran a
+    full count: one extra shuffle + full pass per round). Warns if the
+    budget is exhausted before convergence (labels are then still a
+    valid partition refinement, just possibly split across multiple
+    keepers)."""
     edges = (pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
              .union(pairs.select(F.col("id_b").alias("u"),
                                  F.col("id_a").alias("v"))))
     labels = (all_ids.select(F.col("doc_id").alias("u"),
                              F.col("doc_id").alias("keeper_id"))
               .localCheckpoint())
-    changed = -1
+    converged = False
     for _ in range(max_iter):
         neigh = (edges.join(labels.withColumnRenamed("u", "v"), "v")
                  .groupBy("u").agg(F.min("keeper_id").alias("n_min")))
         hop = (labels.join(neigh, "u", "left")
-               .select("u", F.least(
+               .select("u", F.col("keeper_id").alias("_old"), F.least(
                    F.col("keeper_id"),
                    F.coalesce("n_min", F.col("keeper_id"))).alias("keeper_id")))
         # pointer jump: follow the keeper's own label one step
         ptr = hop.select(F.col("u").alias("keeper_id"),
                          F.col("keeper_id").alias("_k2"))
         jumped = (hop.join(ptr, "keeper_id", "left")
-                  .select("u", F.least(
+                  .select("u", "_old", F.least(
                       F.col("keeper_id"),
                       F.coalesce("_k2", F.col("keeper_id"))).alias("keeper_id"))
+                  .withColumn("_moved", F.col("keeper_id") != F.col("_old"))
+                  .drop("_old")
                   .localCheckpoint())
-        changed = (jumped.alias("n")
-                   .join(labels.alias("o"), "u")
-                   .filter(F.col("n.keeper_id") != F.col("o.keeper_id")).count())
         labels = jumped
-        if changed == 0:
+        if jumped.filter(F.col("_moved")).isEmpty():
+            converged = True
             break
-    if changed != 0:
+    if not converged:
         warnings.warn(
-            f"cluster_pairs exited at max_iter={max_iter} with {changed} "
-            "labels still moving; some clusters may be split across keepers",
+            f"cluster_pairs exited at max_iter={max_iter} with labels "
+            "still moving; some clusters may be split across keepers",
             RuntimeWarning, stacklevel=2)
     return labels.select(F.col("u").alias("doc_id"), "keeper_id")
 

@@ -79,6 +79,13 @@ def write_with_lineage(
             # accounting cost (at 100 TB: two shuffles for a log line),
             # and broadcasting the key set keeps the anti-join
             # shuffle-free on the data side.
+            # NOTE: `skipped` counts committed partitions SEEN for the
+            # stage, not the intersection with this input's keys — an
+            # incremental resume covering a subset of history reports
+            # the full committed count. Exact intersection would need a
+            # distinct over the input (the full-input scan this path
+            # exists to avoid), so the metric is documented as
+            # "committed partitions seen" instead.
             done_keys = done.collect()
             skipped = len(done_keys)
             if done_keys:

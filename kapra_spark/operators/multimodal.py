@@ -154,22 +154,36 @@ def png_decode(payload: bytes) -> np.ndarray:
             cur = line
         elif f == 2:     # Up
             cur = (line + prev) % 256
-        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-sequential
-            cur = np.zeros(stride, dtype=np.int64)
-            for i in range(stride):
-                a = cur[i - ch] if i >= ch else 0
-                b = prev[i]
-                if f == 1:
-                    pred = a
-                elif f == 3:
-                    pred = (a + b) // 2
-                else:
-                    c = prev[i - ch] if i >= ch else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (
-                        b if pb <= pc else c)
-                cur[i] = (line[i] + pred) % 256
+        elif f == 1:     # Sub: cur[i] = (line[i] + cur[i-ch]) % 256.
+            # Mod distributes over addition, so the left-to-right
+            # sequential recurrence is exactly a per-channel cumsum
+            # taken mod 256 (int64 cumsum cannot overflow: w*255 << 2^63)
+            cur = (np.cumsum(line.reshape(w, ch), axis=0) % 256).reshape(stride)
+        elif f == 3:     # Average: w-step recurrence, channels vectorized
+            line2 = line.reshape(w, ch)
+            prev2 = prev.reshape(w, ch)
+            cur2 = np.empty((w, ch), dtype=np.int64)
+            a = np.zeros(ch, dtype=np.int64)
+            for x in range(w):
+                a = (line2[x] + (a + prev2[x]) // 2) % 256
+                cur2[x] = a
+            cur = cur2.reshape(stride)
+        elif f == 4:     # Paeth: w-step recurrence, channels vectorized
+            line2 = line.reshape(w, ch)
+            prev2 = prev.reshape(w, ch)
+            cur2 = np.empty((w, ch), dtype=np.int64)
+            a = np.zeros(ch, dtype=np.int64)   # left (current row)
+            c = np.zeros(ch, dtype=np.int64)   # up-left (previous row)
+            for x in range(w):
+                b = prev2[x]                   # up
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a,
+                                np.where(pb <= pc, b, c))
+                a = (line2[x] + pred) % 256
+                cur2[x] = a
+                c = b
+            cur = cur2.reshape(stride)
         else:
             raise ValueError(f"bad PNG filter {f}")
         out[y] = cur.astype(np.uint8)
@@ -178,16 +192,21 @@ def png_decode(payload: bytes) -> np.ndarray:
 
 
 def wav_encode(samples: np.ndarray, rate: int = 16000,
-               channels: int = 1) -> bytes:
+               channels: int | None = None) -> bytes:
     """PCM16 WAV writer (stdlib ``wave``); ``samples`` float in [-1, 1]
-    shaped (n,) or (n, channels)."""
+    shaped (n,) or (n, channels). The channel count is derived from the
+    sample shape; passing ``channels`` explicitly is only a cross-check
+    (a mismatch would silently interleave wrongly, so it raises)."""
     s = np.asarray(samples, dtype=np.float64)
     if s.ndim == 1:
         s = s[:, None]
+    if channels is not None and channels != s.shape[1]:
+        raise ValueError(
+            f"channels={channels} does not match sample shape {s.shape}")
     pcm = np.clip(np.round(s * 32767.0), -32768, 32767).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as f:
-        f.setnchannels(s.shape[1] if channels is None else channels)
+        f.setnchannels(s.shape[1])
         f.setsampwidth(2)
         f.setframerate(rate)
         f.writeframes(pcm.tobytes())

@@ -126,16 +126,24 @@ def ivf_train_centroids(corpus: DataFrame, n_cells: int = 64,
     """Train spherical k-means centroids on a bounded seeded sample.
 
     The sample (<= n_cells * sample_per_cell rows) is the ONLY
-    driver-side collect; at 10^12 rows the sample fraction is tiny and
-    the scan it rides on is a single pass. Lloyd iterations run as
-    NumPy matmuls on the driver — centroids are (n_cells, dim), a few
-    MB at any realistic dim. Vectors are unit-normalized so cosine
+    driver-side collect, and it needs NO prior ``count()``: a fixed
+    Bernoulli fraction + ``limit`` early-exits the scan once ``target``
+    rows have passed the filter, so at 10^12 rows the build reads
+    ~target/frac rows instead of a full table pass just to size the
+    fraction. The residual bias (rows come from the scan prefix) is
+    acceptable for k-means *seeding* — dead-cell reseeding and the
+    Lloyd iterations correct it. A small corpus that yields fewer than
+    ``target`` sampled rows falls back to fraction 1.0 (second scan of
+    a small input, still no count). Lloyd iterations run as NumPy
+    matmuls on the driver — centroids are (n_cells, dim), a few MB at
+    any realistic dim. Vectors are unit-normalized so cosine
     assignment == max dot product."""
     target = n_cells * sample_per_cell
-    total = corpus.count()
-    frac = min(1.0, (target * 1.3) / max(total, 1))
+    frac = 0.05
     sample = (corpus.select(vec_col).sample(fraction=frac, seed=seed)
               .limit(target).toPandas())
+    if len(sample) < target:
+        sample = corpus.select(vec_col).limit(target).toPandas()
     m = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 

@@ -211,6 +211,8 @@ def create_tree_distributed(tokens_df: DataFrame, p_value: int,
         nodes = next_nodes
 
     pats.unpersist()
+    if not finalized:   # empty input: no leaves were ever finalized
+        return spark.createDataFrame([], leaf_schema)
     out = finalized[0]
     for df in finalized[1:]:
         out = out.unionByName(df)
