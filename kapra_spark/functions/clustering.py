@@ -408,10 +408,17 @@ def split_node(
     max_level: int,
     good: list[Leaf],
     bad: list[Leaf],
+    canonical: bool = False,
 ) -> None:
     """One node of the pattern tree; recursion order (merged-TB child
     first, then TB children, then TG children) matches the reference so
-    leaf-list ordering — which downstream phases iterate — is equal."""
+    leaf-list ordering — which downstream phases iterate — is equal.
+
+    ``canonical=True`` applies the distributed-path order contract: the
+    merged-TB leaf's rows are sorted (ascending row index == doc order
+    when the caller sorts rows by doc id), making every leaf's member
+    order reproducible without knowing the tentative-dict insertion
+    order. All split DECISIONS are identical either way."""
     size = len(rows)
     if size < p_value:
         bad.append(Leaf(level, pattern, rows, "bad-leaf"))
@@ -444,22 +451,28 @@ def split_node(
         merged: list[int] = []
         for _, g in tb:
             merged.extend(g)
+        if canonical:
+            merged.sort()
         # merged child keeps the parent's level+pattern and is a good
         # leaf outright (re-splitting would recreate the same bad
         # leaves — reference includes/node.py:114-138)
         good.append(Leaf(level, pattern, merged, "good-leaf"))
         for pr, g in tg:
-            split_node(values, g, level + 1, pr, p_value, paa_value, max_level, good, bad)
+            split_node(values, g, level + 1, pr, p_value, paa_value, max_level,
+                       good, bad, canonical)
     else:
         nc = len(tg) + len(tb)
         if nc >= 2:
             for pr, g in tb:
-                split_node(values, g, level + 1, pr, p_value, paa_value, max_level, good, bad)
+                split_node(values, g, level + 1, pr, p_value, paa_value,
+                           max_level, good, bad, canonical)
             for pr, g in tg:
-                split_node(values, g, level + 1, pr, p_value, paa_value, max_level, good, bad)
+                split_node(values, g, level + 1, pr, p_value, paa_value,
+                           max_level, good, bad, canonical)
         else:
             pr, g = tg[0]
-            split_node(values, g, level + 1, pr, p_value, paa_value, max_level, good, bad)
+            split_node(values, g, level + 1, pr, p_value, paa_value,
+                       max_level, good, bad, canonical)
 
 
 def merge_bad_into_good(values: np.ndarray, good: list[Leaf], bad: list[Leaf]) -> None:
@@ -485,29 +498,56 @@ def merge_bad_into_good(values: np.ndarray, good: list[Leaf], bad: list[Leaf]) -
 # C4: recycle bad leaves (reference includes/node.py:224-397, KAPRA only)
 # ---------------------------------------------------------------------------
 
-def recycle_bad_leaves(
-    values: np.ndarray,
+@dataclass
+class MetaLeaf:
+    """Leaf SUMMARY: everything C4's decisions need without the rows.
+    ``handle`` is opaque membership (a row list in-memory, a leaf-id
+    list in the distributed operator) — merging concatenates handles
+    and never inspects them. ``first`` identifies the leaf's first
+    record (its row/doc used for level-decrement re-encoding)."""
+    level: int
+    pattern: str
+    count: int
+    first: object
+    handle: list
+    label: str = "bad-leaf"
+
+
+def recycle_bad_leaves_meta(
     p_value: int,
     paa_value: int,
-    good: list[Leaf],
-    bad: list[Leaf],
-    suppressed: list[Leaf],
-) -> None:
-    """Merge same-(level, pattern) bad leaves bottom-up, re-encoding at
-    ever coarser alphabet sizes; promote merged leaves of size >= P;
-    suppress the irreducible rest. Dict-ordering behaviors (including
-    the final first-level-only suppression pick) are preserved."""
-    by_level: dict[int, list[Leaf]] = {}
+    bad: list[MetaLeaf],
+    pattern_of_first,
+    canonical: bool = False,
+) -> tuple[list[MetaLeaf], list[MetaLeaf]]:
+    """C4 on leaf summaries alone — the decision core shared verbatim by
+    the in-memory kernel and ``operators.anonymize_dist`` (which is what
+    makes their parity structural, not coincidental). Merge same-
+    (level, pattern) bad leaves bottom-up, re-encoding at ever coarser
+    alphabet sizes via ``pattern_of_first(first, level)``; promote
+    merged leaves of size >= P; return (promoted good leaves in append
+    order, irreducible suppressed leaves). Dict-ordering behaviors of
+    the reference (including the final first-level-only suppression
+    pick) are preserved; ``bad`` must be in the reference's bad-list
+    (DFS) order.
+
+    ``canonical``: on merge, ``first`` becomes the min of the merged
+    leaves' firsts (the distributed order contract — each leaf's first
+    is its min doc, so the merged first is the min doc of the union);
+    the default keeps the reference quirk (first node's first, i.e.
+    ``rows[0]`` of the extend-concatenation)."""
+    by_level: dict[int, list[MetaLeaf]] = {}
     for node in bad:
         by_level.setdefault(node.level, []).append(node)
 
-    bad_size = sum(len(n.rows) for n in bad)
+    bad_size = sum(n.count for n in bad)
+    good_new: list[MetaLeaf] = []
 
     if bad_size >= p_value:
         current_level = max(by_level.keys())
         while bad_size >= p_value:
             if current_level in by_level:
-                merge_dict: dict[str, list[Leaf]] = {}
+                merge_dict: dict[str, list[MetaLeaf]] = {}
                 singles: list[str] = []
                 merge = False
                 for node in by_level[current_level]:
@@ -524,16 +564,20 @@ def recycle_bad_leaves(
                     for k in singles:
                         del merge_dict[k]
                     for pr, node_list in merge_dict.items():
-                        rows: list[int] = []
+                        handle: list = []
+                        count = 0
                         for node in node_list:
                             by_level[current_level].remove(node)
-                            rows.extend(node.rows)
+                            handle.extend(node.handle)
+                            count += node.count
+                        first = (min(n.first for n in node_list) if canonical
+                                 else node_list[0].first)
                         level = current_level if current_level > 1 else 1
-                        merged = Leaf(level, pr, rows)
-                        if len(rows) >= p_value:
+                        merged = MetaLeaf(level, pr, count, first, handle)
+                        if count >= p_value:
                             merged.label = "good-leaf"
-                            good.append(merged)
-                            bad_size -= len(rows)
+                            good_new.append(merged)
+                            bad_size -= count
                         else:
                             merged.label = "bad-leaf"
                             by_level[current_level].append(merged)
@@ -541,9 +585,7 @@ def recycle_bad_leaves(
             temp_level = current_level - 1
             for node in by_level.get(current_level, []):
                 if temp_level > 1:
-                    first = values[node.rows[0]]
-                    pr = ts_to_string(paa(znorm(first), paa_value),
-                                      cuts_for_asize(temp_level))
+                    pr = pattern_of_first(node.first, temp_level)
                 else:
                     pr = "a" * paa_value
                 node.level = temp_level
@@ -559,7 +601,34 @@ def recycle_bad_leaves(
                 break
 
     remaining = list(by_level.values())[0] if by_level else []
-    suppressed.extend(remaining)
+    return good_new, remaining
+
+
+def recycle_bad_leaves(
+    values: np.ndarray,
+    p_value: int,
+    paa_value: int,
+    good: list[Leaf],
+    bad: list[Leaf],
+    suppressed: list[Leaf],
+) -> None:
+    """Row-level wrapper over :func:`recycle_bad_leaves_meta` with the
+    reference's exact quirk semantics (handles = row lists, first =
+    ``rows[0]``, re-encode from the first row's series)."""
+    metas = [MetaLeaf(n.level, n.pattern, len(n.rows),
+                      n.rows[0] if n.rows else None, list(n.rows), n.label)
+             for n in bad]
+
+    def pattern_of_first(first: int, level: int) -> str:
+        return ts_to_string(paa(znorm(values[first]), paa_value),
+                            cuts_for_asize(level))
+
+    good_new, remaining = recycle_bad_leaves_meta(
+        p_value, paa_value, metas, pattern_of_first, canonical=False)
+    good.extend(Leaf(m.level, m.pattern, m.handle, "good-leaf")
+                for m in good_new)
+    suppressed.extend(Leaf(m.level, m.pattern, m.handle, m.label)
+                      for m in remaining)
 
 
 # ---------------------------------------------------------------------------
@@ -630,6 +699,99 @@ def _find_min_vl(envs_hi, envs_lo, envs_n, ignored: set[int],
     return best, best_vl
 
 
+@dataclass
+class SubgroupMeta:
+    """P-subgroup SUMMARY for C5: opaque membership ``handle`` plus the
+    envelope (``hi`` carries the max-with-0 quirk, so union-VL from
+    these summaries equals the raw-matrix VL exactly) and the PLAIN
+    per-position bounds (``phi``/``plo``, no quirk) used only for the
+    rendered k-group "[lo|hi]" envelopes."""
+    handle: object
+    hi: np.ndarray
+    lo: np.ndarray
+    n: int
+    phi: np.ndarray | None = None
+    plo: np.ndarray | None = None
+
+
+def kgroups_from_subgroups(
+    pgl: list[SubgroupMeta],
+    k_value: int,
+    t: int,
+) -> tuple[list[list[SubgroupMeta]], list[SubgroupMeta]]:
+    """C5's promote + greedy-merge + leftover-attach phases on subgroup
+    summaries alone (reference includes/k_anonymity.py:60-167) — the
+    decision core shared verbatim by the in-memory kernel and
+    ``operators.anonymize_dist``. ``pgl`` must already be past the
+    >=2P preprocessing split, in the reference's order (unsplit groups
+    first, split products appended in group order). Returns (k-groups
+    as ordered member lists, unplaceable subgroups — non-empty only
+    when no k-group could form at all).
+
+    Every number computed here (union envelopes, VL, counts — counts
+    include duplicated records, and a k-group union envelope equals the
+    envelope of its concatenated member rows because min/max ignore
+    duplicates) is identical to the row-level computation, so this is
+    an exact re-expression, not an approximation."""
+    gl: list[list[SubgroupMeta]] = []
+    promoted: set[int] = set()
+    for i, sg in enumerate(pgl):
+        if sg.n >= k_value:
+            promoted.add(i)
+            gl.append([sg])
+    pgl = [sg for i, sg in enumerate(pgl) if i not in promoted]
+
+    if pgl:
+        envs_hi = np.stack([sg.hi for sg in pgl])
+        envs_lo = np.stack([sg.lo for sg in pgl])
+        envs_n = np.array([sg.n for sg in pgl])
+    else:
+        envs_hi = envs_lo = np.zeros((0, t))
+        envs_n = np.zeros(0, dtype=int)
+
+    merged_idxs: set[int] = set()
+    card = int(envs_n.sum())
+
+    while card >= k_value:
+        gi, _ = _find_min_vl(envs_hi, envs_lo, envs_n, merged_idxs, None, t)
+        if gi is None:
+            break
+        g = [pgl[gi]]
+        g_n = int(envs_n[gi])
+        g_env = Env(envs_hi[gi].copy(), envs_lo[gi].copy(), g_n)
+        merged_idxs.add(gi)
+        card -= g_n
+        while g_n < k_value:
+            si, _ = _find_min_vl(envs_hi, envs_lo, envs_n, merged_idxs, g_env, t)
+            if si is None:
+                break
+            g.append(pgl[si])
+            g_n += int(envs_n[si])
+            g_env = Env(np.maximum(g_env.hi, envs_hi[si]),
+                        np.minimum(g_env.lo, envs_lo[si]),
+                        g_env.n + int(envs_n[si]))
+            merged_idxs.add(si)
+            card -= int(envs_n[si])
+        gl.append(g)
+
+    leftovers = [sg for i, sg in enumerate(pgl) if i not in merged_idxs]
+    unplaced: list[SubgroupMeta] = []
+    for sg in leftovers:
+        if not gl:
+            unplaced.append(sg)
+            continue
+        sg_env = Env(sg.hi, sg.lo, sg.n)
+        gl_hi = np.stack([np.maximum.reduce([m.hi for m in g]) for g in gl])
+        gl_lo = np.stack([np.minimum.reduce([m.lo for m in g]) for g in gl])
+        gl_n = np.array([sum(m.n for m in g) for g in gl])
+        gi, _ = _find_min_vl(gl_hi, gl_lo, gl_n, set(), sg_env, t)
+        g_prime = gl.pop(gi)
+        g_prime = g_prime + [sg]
+        gl.append(g_prime)
+
+    return gl, unplaced
+
+
 def bottom_up_kgroups(
     values: np.ndarray,
     p_subgroups: list[list[int]],
@@ -639,7 +801,10 @@ def bottom_up_kgroups(
 ) -> tuple[list[list[int]], list[list[int]]]:
     """P-subgroups -> (k-groups, unplaceable subgroups), evaluated
     entirely on envelope summaries (exact, because VL is
-    envelope-determined).
+    envelope-determined). Row-level wrapper: runs the >=2P
+    preprocessing split inline (shared RNG sequence, like the
+    reference) and delegates the promote/merge/attach phases to
+    :func:`kgroups_from_subgroups`.
 
     The second element is non-empty only when NO k-group could be
     formed at all (total records < k) — input the reference refuses
@@ -665,62 +830,14 @@ def bottom_up_kgroups(
             split_idxs.add(i)
     pgl = [sg for i, sg in enumerate(pgl) if i not in split_idxs] + splitted
 
-    # promote subgroups already >= k
-    gl: list[list[int]] = []
-    promoted: set[int] = set()
-    for i, sg in enumerate(pgl):
-        if len(sg) >= k_value:
-            promoted.add(i)
-            gl.append(sg)
-    pgl = [sg for i, sg in enumerate(pgl) if i not in promoted]
+    metas = []
+    for sg in pgl:
+        hi, lo, n = envelope(values[sg])
+        metas.append(SubgroupMeta(handle=sg, hi=hi, lo=lo, n=n))
+    gl_meta, unplaced_meta = kgroups_from_subgroups(metas, k_value, t)
 
-    if pgl:
-        envs = [envelope(values[sg]) for sg in pgl]
-        envs_hi = np.stack([e[0] for e in envs])
-        envs_lo = np.stack([e[1] for e in envs])
-        envs_n = np.array([e[2] for e in envs])
-    else:
-        envs_hi = envs_lo = np.zeros((0, t))
-        envs_n = np.zeros(0, dtype=int)
-
-    merged_idxs: set[int] = set()
-    card = int(envs_n.sum())
-
-    while card >= k_value:
-        gi, _ = _find_min_vl(envs_hi, envs_lo, envs_n, merged_idxs, None, t)
-        if gi is None:
-            break
-        g = list(pgl[gi])
-        g_env = Env(envs_hi[gi].copy(), envs_lo[gi].copy(), int(envs_n[gi]))
-        merged_idxs.add(gi)
-        card -= len(g)
-        while len(g) < k_value:
-            si, _ = _find_min_vl(envs_hi, envs_lo, envs_n, merged_idxs, g_env, t)
-            if si is None:
-                break
-            g.extend(pgl[si])
-            g_env = Env(np.maximum(g_env.hi, envs_hi[si]),
-                        np.minimum(g_env.lo, envs_lo[si]),
-                        g_env.n + int(envs_n[si]))
-            merged_idxs.add(si)
-            card -= int(envs_n[si])
-        gl.append(g)
-
-    leftovers = [sg for i, sg in enumerate(pgl) if i not in merged_idxs]
-    unplaced: list[list[int]] = []
-    for sg in leftovers:
-        if not gl:
-            unplaced.append(list(sg))
-            continue
-        sg_env = Env(*envelope(values[sg]))
-        gl_hi = np.stack([envelope(values[g])[0] for g in gl])
-        gl_lo = np.stack([envelope(values[g])[1] for g in gl])
-        gl_n = np.array([len(g) for g in gl])
-        gi, _ = _find_min_vl(gl_hi, gl_lo, gl_n, set(), sg_env, t)
-        g_prime = gl.pop(gi)
-        g_prime = g_prime + sg
-        gl.append(g_prime)
-
+    gl = [[r for m in g for r in m.handle] for g in gl_meta]
+    unplaced = [list(m.handle) for m in unplaced_meta]
     return gl, unplaced
 
 
