@@ -60,3 +60,35 @@ def test_tree_dist_covers_all_rows(spark):
     good = res[res["label"] == "good-leaf"]
     sizes = good.groupby("leaf_id").size()
     assert (sizes >= 4).all()                    # good leaves honor P
+
+
+@pytest.mark.parametrize("n,p,paa,seed", [
+    (300, 4, 4, 11),
+    (60, 12, 4, 7),    # TB-merge + maximize paths
+])
+def test_tree_dist_order_contract(spark, n, p, paa, seed):
+    """Sorting distributed leaves by order_key reproduces the recursive
+    kernel's DFS append order exactly (per label class) — the contract
+    the C4/C5 distributed phases (anonymize_dist) build on."""
+    pdf = datagen.tokens_pdf(n, n_tok=13, seed=seed, gap_fraction=0.0)
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    mat = np.stack(pdf["tokens"].to_numpy()).astype(np.float64)[:, :-1]
+    good, bad = [], []
+    C.split_node(mat, list(range(len(mat))), 1, "a" * paa, p, paa, 5,
+                 good, bad, canonical=True)
+    ids = list(pdf["doc_id"])
+    exp = {
+        "good-leaf": [(l.level, l.pattern, frozenset(ids[r] for r in l.rows))
+                      for l in good],
+        "bad-leaf": [(l.level, l.pattern, frozenset(ids[r] for r in l.rows))
+                     for l in bad],
+    }
+    tokens = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+    res = create_tree_distributed(tokens, p, paa).toPandas()
+    got = {"good-leaf": [], "bad-leaf": []}
+    for (leaf_id, level, pattern, label, okey), grp in res.groupby(
+            ["leaf_id", "level", "pattern", "label", "order_key"]):
+        got[label].append((okey, int(level), pattern,
+                           frozenset(grp["doc_id"])))
+    for label in exp:
+        assert [x[1:] for x in sorted(got[label])] == exp[label]
