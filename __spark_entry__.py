@@ -756,6 +756,46 @@ def q_tree_dist_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, n_leaves long, n_leaf_mismatch long")
 
 
+def q_kp_dist_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4+C5+F9 DISTRIBUTED end-to-end as a driver-checkable constant:
+    run kp_anonymize_distributed (records distributed through tree,
+    recycle, bottom-up k-groups, l-diversity) AND its in-memory twin
+    kp_anonymize_canonical on the same mid-size table, count row
+    mismatches in-query, and pin the (k, P) invariants. The oracle pins
+    mismatches at zero and the invariants at true."""
+    import pandas as pd
+
+    from kapra_spark import datagen
+    from kapra_spark.operators.anonymize_dist import (
+        kp_anonymize_canonical, kp_anonymize_distributed)
+
+    k, p = 8, 4
+    pdf = datagen.tokens_pdf(250, n_tok=13, seed=11, gap_fraction=0.0)
+    tokens = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in ("lo", "hi"):
+            df[c] = df[c].map(lambda v: None if v is None else tuple(v))
+        return (df.sort_values("doc_id").reset_index(drop=True)
+                [["doc_id", "source", "group_id", "sax", "as_perturbed",
+                  "lo", "hi", "suppressed"]])
+
+    canon = norm(kp_anonymize_canonical(tokens, k=k, p=p, paa=4, l=2)
+                 .toPandas())
+    dist = norm(kp_anonymize_distributed(tokens, k=k, p=p, paa=4, l=2)
+                .toPandas())
+    n_mismatch = int((canon.astype(str) != dist.astype(str)).any(axis=1).sum())
+
+    grouped = dist[~dist["suppressed"]]
+    k_ok = bool((grouped.groupby("group_id").size() >= k).all())
+    p_ok = bool((grouped.groupby(["group_id", "sax"]).size() >= p).all())
+    return spark.createDataFrame(
+        [(len(dist), n_mismatch, k_ok, p_ok)],
+        "n_rows long, n_row_mismatch long, k_invariant boolean, "
+        "p_invariant boolean")
+
+
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S2/S5 as one self-verifying constant: deterministic tokens ->
     wide CSV (the reference's input shape, io.py:114-134) ->
@@ -884,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_resume": q_lineage_resume,
         "csv_roundtrip": q_csv_roundtrip,
         "tree_dist_parity": q_tree_dist_parity,
+        "kp_dist_parity": q_kp_dist_parity,
         "media_features": q_media_features,
         # non-SQL-expressible (rows-only driver check + pytest goldens)
         "kp_anonymize_kapra": q_kp_anonymize_kapra,
@@ -1202,6 +1243,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(300 AS BIGINT) AS n_rows,
                    CAST(56 AS BIGINT) AS n_leaves,
                    CAST(0 AS BIGINT) AS n_leaf_mismatch
+        """,
+        "kp_dist_parity": """
+            SELECT CAST(250 AS BIGINT) AS n_rows,
+                   CAST(0 AS BIGINT) AS n_row_mismatch,
+                   TRUE AS k_invariant,
+                   TRUE AS p_invariant
         """,
         "csv_roundtrip": """
             SELECT CAST(120 AS BIGINT) AS n_rows,
