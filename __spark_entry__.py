@@ -751,9 +751,21 @@ def q_tree_dist_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["leaf_id", "level", "pattern", "label"]):
         got.add((int(level), pattern, label, frozenset(grp["doc_id"])))
     n_leaf_mismatch = len(got ^ expect)
+
+    # both decision paths: decisions="dataframe" (histogram never
+    # collected, case analysis as DataFrame expressions) must be
+    # byte-equal to the collecting path, order keys included
+    res_df = (create_tree_distributed(tokens, 4, 4, decisions="dataframe")
+              .toPandas())
+    key = ["doc_id", "leaf_id", "level", "pattern", "label", "order_key"]
+    a = res.sort_values(key).reset_index(drop=True)[key]
+    b = res_df.sort_values(key).reset_index(drop=True)[key]
+    n_df_mismatch = int((a != b).any(axis=1).sum()) if len(a) == len(b) \
+        else max(len(a), len(b))
     return spark.createDataFrame(
-        [(len(res), len(got), n_leaf_mismatch)],
-        "n_rows long, n_leaves long, n_leaf_mismatch long")
+        [(len(res), len(got), n_leaf_mismatch, n_df_mismatch)],
+        "n_rows long, n_leaves long, n_leaf_mismatch long, "
+        "n_df_decisions_mismatch long")
 
 
 def q_kp_dist_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1242,7 +1254,8 @@ def oracle_sql() -> dict[str, str]:
         "tree_dist_parity": """
             SELECT CAST(300 AS BIGINT) AS n_rows,
                    CAST(56 AS BIGINT) AS n_leaves,
-                   CAST(0 AS BIGINT) AS n_leaf_mismatch
+                   CAST(0 AS BIGINT) AS n_leaf_mismatch,
+                   CAST(0 AS BIGINT) AS n_df_decisions_mismatch
         """,
         "kp_dist_parity": """
             SELECT CAST(250 AS BIGINT) AS n_rows,

@@ -23,25 +23,25 @@ breadth-first as a driver loop over levels where
 Cost shape at scale: ``max_level - 1`` rounds (MAX_LEVEL = 5), each
 one shuffle on (node_id, pattern) with map-side partial aggregation,
 plus a maximize-level aggregate over the (few) 1-2P-sized nodes. The
-driver holds per-NODE metadata only, never per-record data. The
-prototype collects the histogram; a 10^12-scale deployment would keep
-even that as a DataFrame and apply decisions with a join — noted
-inline where it applies.
+driver holds per-NODE metadata only, never per-record data — and with
+``decisions="dataframe"`` not even that: the histogram stays a
+DataFrame and the case analysis runs as column expressions + joins
+(the 10^12-node variant), leaving the driver only per-round loop
+control.
 
 Leaf assignment is IDENTICAL to the in-memory ``split_node`` (parity-
 tested in tests/test_tree_dist.py): same leaves, same levels, same
-patterns, same labels. Leaf-list ORDER is the one thing BFS does not
-reproduce (the in-memory recursion is depth-first), which is why
-``kp_anonymize`` keeps the recursive kernel — order feeds the
-downstream recycle/bottom-up phases — and this operator is the scale
-path for sources too large for one Arrow batch.
+patterns, same labels — and leaf ORDER is reconstructible too, via the
+emitted DFS ``order_key``, which is what lets the downstream
+recycle/bottom-up phases (operators/anonymize_dist.py) consume this
+tree with reference semantics.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import sax as S
@@ -77,7 +77,8 @@ def pattern_arrays(tokens_df: DataFrame, paa_value: int,
 def create_tree_distributed(tokens_df: DataFrame, p_value: int,
                             paa_value: int,
                             max_level: int = S.MAX_LEVEL,
-                            pats_df: DataFrame | None = None) -> DataFrame:
+                            pats_df: DataFrame | None = None,
+                            decisions: str = "collect") -> DataFrame:
     """Build the reference pattern tree globally over a distributed
     table. Returns (doc_id, leaf_id, level, pattern, label, order_key)
     with label in {'good-leaf', 'bad-leaf'} — the exact split-phase
@@ -101,11 +102,28 @@ def create_tree_distributed(tokens_df: DataFrame, p_value: int,
     :func:`pattern_arrays` (e.g. the distributed anonymizer, which
     reuses it for recycle re-encoding) pass it in; otherwise it is
     computed and cached here.
+
+    ``decisions``: ``"collect"`` (default) collects the per-round
+    (node, child) histogram — node-metadata-sized — and applies the
+    reference's decision procedure on the driver; ``"dataframe"`` keeps
+    even the histogram distributed and applies the same case analysis
+    as DataFrame expressions + joins (the 10^12-NODE variant: the
+    driver sees only per-round empty/non-empty loop control, never a
+    per-node row). Both paths are parity-tested to byte-equal output
+    including order keys (tests/test_tree_dist.py).
     """
+    if decisions not in ("collect", "dataframe"):
+        raise ValueError(f"decisions must be collect|dataframe, got {decisions!r}")
     spark = tokens_df.sparkSession
     own_pats = pats_df is None
     pats = (pattern_arrays(tokens_df, paa_value, max_level).cache()
             if own_pats else pats_df)
+    if decisions == "dataframe":
+        out = _tree_dataframe_decisions(spark, pats, p_value, paa_value,
+                                        max_level)
+        if own_pats:
+            pats.unpersist()
+        return out
 
     root_pattern = "a" * paa_value
     # driver-side node metadata: node_id -> (level, pattern)
@@ -259,6 +277,154 @@ def create_tree_distributed(tokens_df: DataFrame, p_value: int,
     if own_pats:
         pats.unpersist()
     if not finalized:   # empty input: no leaves were ever finalized
+        return spark.createDataFrame([], leaf_schema)
+    out = finalized[0]
+    for df in finalized[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def _tree_dataframe_decisions(spark, pats: DataFrame, p_value: int,
+                              paa_value: int, max_level: int) -> DataFrame:
+    """The ``decisions="dataframe"`` body: node metadata lives in a
+    DataFrame (node_id, lvl, pattern, okey), the per-round histogram is
+    never collected, and the reference's case analysis becomes column
+    expressions + broadcast joins. Per round the driver runs only an
+    ``isEmpty`` loop-control check over the (already materialized)
+    node-metadata frame. Decision semantics and order keys are
+    identical to the collecting path (parity-tested)."""
+    nodes = spark.createDataFrame(
+        [("root", 1, "a" * paa_value, "")],
+        "node_id string, lvl int, pattern string, okey string")
+    frontier = pats.withColumn("node_id", F.lit("root"))
+    finalized: list[DataFrame] = []
+    leaf_schema = ("doc_id string, leaf_id string, level int, "
+                   "pattern string, label string, order_key string")
+
+    for _round in range(max_level + 2):
+        nb = F.broadcast(nodes)
+        hist = (frontier.join(nb, "node_id")
+                .groupBy("node_id",
+                         F.element_at("pats", F.col("lvl")).alias("cp"))
+                .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("mdoc"))
+                .localCheckpoint())
+        agg = (hist.groupBy("node_id")
+               .agg(F.sum("cnt").alias("size"),
+                    F.max("cnt").alias("max_child"),
+                    F.coalesce(F.sum(F.when(F.col("cnt") < p_value,
+                                            F.col("cnt"))),
+                               F.lit(0)).alias("tb_sum")))
+        # the reference's case ladder, as one column (order matters)
+        case = (F.when(F.col("size") < p_value, "bad")             # base 1
+                .when(F.col("lvl") == max_level, "good")           # base 2
+                .when(F.col("size") < 2 * p_value, "maximize")     # base 3
+                .when(F.col("max_child") < p_value, "good")        # base 4
+                .when(F.col("tb_sum") >= p_value, "tbmerge")
+                .otherwise("split"))
+        nstate = (nodes.join(agg, "node_id")   # empty nodes drop out
+                  .withColumn("case", case)
+                  .localCheckpoint())
+        if nstate.isEmpty():
+            break
+
+        # terminal leaves (bad / good at the node itself)
+        term = nstate.filter(F.col("case").isin("bad", "good"))
+        finalized.append(
+            frontier.join(F.broadcast(term), "node_id")
+            .select("doc_id", F.col("node_id").alias("leaf_id"),
+                    F.col("lvl").alias("level"), "pattern",
+                    F.when(F.col("case") == "bad", "bad-leaf")
+                    .otherwise("good-leaf").alias("label"),
+                    F.col("okey").alias("order_key")))
+
+        # maximize-level: per-node countDistinct/first per level, then
+        # the level walk as a when-ladder (node.py:197-222 semantics)
+        mx = nstate.filter(F.col("case") == "maximize")
+        aggs = []
+        for j in range(1, max_level + 1):   # pats[j-1] = level j+1
+            aggs.append(F.countDistinct(
+                F.element_at("pats", j)).alias(f"d{j}"))
+            aggs.append(F.first(F.element_at("pats", j)).alias(f"p{j}"))
+        mrows = (frontier.join(F.broadcast(mx.select("node_id")), "node_id")
+                 .groupBy("node_id").agg(*aggs)
+                 .join(F.broadcast(mx), "node_id"))
+
+        def final_lvl(v: int):
+            # first level j >= v whose members diverge (d_j != 1);
+            # all-shared walks to max_level + 1 (preserved quirk).
+            # d_j gates the step FROM level j to j+1; pats[j-1] is the
+            # pattern at level j+1, so d index == level index here.
+            e = F.lit(max_level + 1)
+            for j in range(max_level, v - 1, -1):
+                e = F.when(F.col(f"d{j}") != 1, F.lit(j)).otherwise(e)
+            return e
+
+        lvl_col = F.lit(None).cast("int")
+        for v in range(max_level, 0, -1):
+            lvl_col = F.when(F.col("lvl") == v, final_lvl(v)).otherwise(lvl_col)
+        pat_col = F.col("pattern")
+        for j in range(2, max_level + 2):
+            pat_col = (F.when((lvl_col == j) & (F.col("lvl") < j),
+                              F.col(f"p{j-1}")).otherwise(pat_col))
+        mx_nodes = mrows.select("node_id", lvl_col.alias("level"),
+                                pat_col.alias("pattern"),
+                                F.col("okey").alias("order_key"))
+        finalized.append(
+            frontier.join(F.broadcast(mx_nodes), "node_id")
+            .select("doc_id", F.col("node_id").alias("leaf_id"),
+                    "level", "pattern", F.lit("good-leaf").alias("label"),
+                    "order_key"))
+
+        # splitting nodes: rank children per phase by min doc
+        act = nstate.filter(F.col("case").isin("tbmerge", "split"))
+        ch = (hist.join(F.broadcast(act), "node_id")
+              .withColumn("is_tb", F.col("cnt") < p_value)
+              .withColumn("rank", F.row_number().over(
+                  Window.partitionBy("node_id", "is_tb").orderBy("mdoc")) - 1))
+
+        # merged-TB leaf: parent's level/pattern, DFS phase 0
+        tbm = (ch.filter((F.col("case") == "tbmerge") & F.col("is_tb"))
+               .select("node_id", "cp",
+                       F.concat("node_id", F.lit("|TBMERGE")).alias("leaf_id"),
+                       F.col("lvl").alias("level"), "pattern",
+                       F.concat("okey", F.lit("0000000")).alias("order_key")))
+        fr_cp = (frontier.join(F.broadcast(act.select("node_id", "lvl")),
+                               "node_id")
+                 .withColumn("cp", F.element_at("pats", F.col("lvl"))))
+        finalized.append(
+            fr_cp.join(F.broadcast(tbm), ["node_id", "cp"])
+            .select("doc_id", "leaf_id", "level", "pattern",
+                    F.lit("good-leaf").alias("label"), "order_key"))
+
+        # continuing children: all of a split node's children (TB phase
+        # 1 first, TG phase 2), plus a tbmerge node's TG children
+        contc = ch.filter((F.col("case") == "split") | (~F.col("is_tb")))
+        phase = (F.when(F.col("case") == "tbmerge", F.lit("2"))
+                 .when(F.col("is_tb"), F.lit("1")).otherwise(F.lit("2")))
+        new_nodes = (contc.select(
+            "node_id", "cp",
+            F.concat("node_id", F.lit("|"), "cp").alias("new_node_id"),
+            (F.col("lvl") + 1).alias("new_lvl"),
+            F.col("cp").alias("new_pattern"),
+            F.concat("okey", phase,
+                     F.lpad(F.col("rank").cast("string"), 6, "0"))
+            .alias("new_okey")))
+
+        frontier = (fr_cp.join(
+            F.broadcast(new_nodes.select("node_id", "cp", "new_node_id")),
+            ["node_id", "cp"])
+            .select("doc_id", "pats", F.col("new_node_id").alias("node_id"))
+            .localCheckpoint())
+        nodes = (new_nodes.select(
+            F.col("new_node_id").alias("node_id"),
+            F.col("new_lvl").alias("lvl"),
+            F.col("new_pattern").alias("pattern"),
+            F.col("new_okey").alias("okey"))
+            .localCheckpoint())
+        if nodes.isEmpty():
+            break
+
+    if not finalized:
         return spark.createDataFrame([], leaf_schema)
     out = finalized[0]
     for df in finalized[1:]:

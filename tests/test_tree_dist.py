@@ -92,3 +92,18 @@ def test_tree_dist_order_contract(spark, n, p, paa, seed):
                            frozenset(grp["doc_id"])))
     for label in exp:
         assert [x[1:] for x in sorted(got[label])] == exp[label]
+
+
+def test_tree_df_decisions_parity(spark):
+    """decisions='dataframe' (histogram never collected, case analysis
+    as DataFrame expressions) is byte-equal to the collecting path,
+    order keys included."""
+    for n, p, paa, seed in [(300, 4, 4, 11), (60, 12, 4, 7)]:
+        pdf = datagen.tokens_pdf(n, n_tok=13, seed=seed, gap_fraction=0.0)
+        tokens = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+        a = (create_tree_distributed(tokens, p, paa).toPandas()
+             .sort_values(["doc_id", "leaf_id"]).reset_index(drop=True))
+        b = (create_tree_distributed(tokens, p, paa, decisions="dataframe")
+             .toPandas().sort_values(["doc_id", "leaf_id"])
+             .reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
