@@ -507,11 +507,14 @@ def q_asof_join_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_asof_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same as-of semantics through the HOT-KEY path: (by, coarse
-    time-bucket) pre-partition + carry rows (joins.py
-    skew_bucket_seconds). Verified against the same DuckDB ASOF JOIN
-    ground truth as the global-window formulation — hash equality
-    proves the mitigation is exact, not approximately so."""
+    """Same as-of semantics through the HOT-KEY path, now AUTO-DETECTED
+    (joins.py skew_bucket_seconds="auto"): a cheap key-frequency sample
+    sees each event_type holding >= 20% of rows (few heavy series) and
+    engages the (by, coarse time-bucket) pre-partition + carry rows.
+    Verified against the same DuckDB ASOF JOIN ground truth as the
+    global-window formulation — hash equality proves the mitigation is
+    exact, not approximately so (and that the auto-chosen width is
+    semantics-neutral)."""
     from kapra_spark.operators.joins import asof_join
     from kapra_spark.operators.rollup import events_rollup
 
@@ -524,7 +527,10 @@ def q_asof_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("sum").alias("cp_sum")))
     j = asof_join(ev.select("event_id", "event_type", "ts"), cp,
                   by="event_type", left_ts="ts", right_ts="cp_ts",
-                  skew_bucket_seconds=6 * 3600)
+                  skew_bucket_seconds="auto",
+                  # sf0.01 events is ~10k rows: sample it whole so the
+                  # detection is deterministic at test scale
+                  auto_opts={"sample_fraction": 1.0, "min_sample": 100})
     return j.select("event_id", "event_type",
                     F.col("r_cp_bucket").alias("cp_bucket"),
                     _r4("r_cp_sum").alias("cp_sum"))

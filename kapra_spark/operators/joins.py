@@ -29,6 +29,45 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _auto_skew_bucket_seconds(
+    left: DataFrame,
+    by: list[str],
+    ts_col: str,
+    share_threshold: float = 0.2,
+    target_buckets: int = 64,
+    sample_fraction: float = 0.01,
+    sample_cap: int = 100_000,
+    min_sample: int = 500,
+    seed: int = 13,
+) -> int | None:
+    """Decide ``skew_bucket_seconds`` from a CHEAP key-frequency sample
+    (fixed Bernoulli fraction + early-exit limit — never a full pass,
+    same pattern as the IVF sampler). Returns a bucket width iff some
+    ``by`` key holds >= ``share_threshold`` of the sampled rows — the
+    regime where that key's window sort serializes a that-fraction of
+    the whole join in ONE task — sized so the hot key splits into
+    ~``target_buckets`` window tasks. Returns None (global path) for
+    high-cardinality/uniform keys or inputs too small to matter.
+
+    The limit means the sample can be a scan-prefix: the time span may
+    be underestimated (→ narrower buckets, MORE parallelism — the safe
+    direction) and a key clustered late in the scan can be missed; for
+    time-partitioned stores the prefix covers whole partitions, where
+    hot keys recur per partition, so the share estimate holds."""
+    samp = (left.select(*by, F.col(ts_col).cast("timestamp").alias("_t"))
+            .sample(fraction=sample_fraction, seed=seed)
+            .limit(sample_cap).toPandas())
+    if len(samp) < min_sample:
+        return None
+    top = samp.groupby(by).size().max() / len(samp)
+    if top < share_threshold:
+        return None
+    span = (samp["_t"].max() - samp["_t"].min()).total_seconds()
+    if not span or span <= 0:
+        return None
+    return max(1, int(span // target_buckets))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -38,7 +77,8 @@ def asof_join(
     how: str = "inner",
     tolerance_seconds: int | None = None,
     right_prefix: str = "r_",
-    skew_bucket_seconds: int | None = None,
+    skew_bucket_seconds: int | str | None = None,
+    auto_opts: dict | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right_ts <= left_ts`` within the same ``by`` group (backward
@@ -54,9 +94,24 @@ def asof_join(
     bucket-level aggregate that is metadata-sized (one row per
     (by, bucket)). Results are EXACTLY equal to the unbucketed
     formulation (parity-tested); choose a bucket width that splits the
-    hottest key into enough buckets to saturate the cluster.
+    hottest key into enough buckets to saturate the cluster — or pass
+    ``skew_bucket_seconds="auto"`` to let a cheap key-frequency sample
+    decide: bucketing engages (with a width splitting the hot key into
+    ~64 tasks) only when some key holds >= 20% of the sampled rows, so
+    the user who doesn't know they have a hot key still gets the
+    mitigation, and uniform high-cardinality keys keep the one-shuffle
+    global plan. ``auto_opts`` overrides the sampler's knobs
+    (share_threshold, target_buckets, sample_fraction, sample_cap,
+    min_sample, seed — see :func:`_auto_skew_bucket_seconds`).
     """
     by = [by] if isinstance(by, str) else list(by)
+    if skew_bucket_seconds == "auto":
+        skew_bucket_seconds = _auto_skew_bucket_seconds(
+            left, by, left_ts, **(auto_opts or {}))
+    elif isinstance(skew_bucket_seconds, str):
+        raise ValueError(
+            f"skew_bucket_seconds must be an int, None, or 'auto'; "
+            f"got {skew_bucket_seconds!r}")
     r_payload = [c for c in right.columns if c not in by]
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")

@@ -165,3 +165,46 @@ def test_asof_skew_plan_partitions_by_bucket(spark, skewed):
     u = (ldf.withColumn("_cb", F.floor(F.unix_timestamp("ts") / 900))
          .filter(F.col("k") == "hot").select("_cb").distinct().count())
     assert u > 10
+
+
+def test_asof_auto_skew_detection(spark):
+    """skew_bucket_seconds='auto': a planted hot key engages the
+    bucketed plan (and stays exactly equal to the global path); a
+    uniform high-cardinality key keeps the global single-window plan."""
+    import numpy as np
+    from kapra_spark.operators.joins import _auto_skew_bucket_seconds
+
+    n = 4000
+    rng = np.random.default_rng(3)
+    hot_keys = np.where(rng.random(n) < 0.5, "hot",
+                        rng.integers(0, 200, n).astype(str))
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 7 * 86400, n), unit="s")
+    left = pd.DataFrame({"k": hot_keys, "ts": ts,
+                         "lv": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({
+        "k": hot_keys[:400], "ts": ts[:400] - pd.Timedelta(seconds=1),
+        "rv": np.arange(400, dtype=np.int64)})
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    opts = {"sample_fraction": 1.0, "min_sample": 100}
+
+    # detection: hot key -> width chosen; uniform key -> None
+    assert _auto_skew_bucket_seconds(ldf, ["k"], "ts", **opts) is not None
+    uni = ldf.withColumn("k", F.concat(F.lit("u"), F.col("lv") % 1000))
+    assert _auto_skew_bucket_seconds(uni, ["k"], "ts", **opts) is None
+
+    # parity: auto-bucketed result == global-window result
+    a = (asof_join(ldf, rdf, by="k", how="left").toPandas()
+         .sort_values("lv").reset_index(drop=True))
+    b = (asof_join(ldf, rdf, by="k", how="left",
+                   skew_bucket_seconds="auto", auto_opts=opts).toPandas()
+         .sort_values("lv").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+    # the plan actually partitions by the coarse bucket only in auto
+    plan_auto = asof_join(ldf, rdf, by="k", skew_bucket_seconds="auto",
+                          auto_opts=opts)._jdf.queryExecution().toString()
+    plan_glob = asof_join(ldf, rdf, by="k")._jdf.queryExecution().toString()
+    assert "_cb" in plan_auto
+    assert "_cb" not in plan_glob
