@@ -90,7 +90,14 @@ def box_speed_index() -> float:
     return round(n / (time.time() - t_end + 1.0) / 1e6, 2)
 
 
-def trial(cpus: int, tokens_path: str, reps: int = 6
+#: reps per trial subprocess / per-subprocess wall cap — override via
+#: env (SCALING_REPS, SCALING_TRIAL_TIMEOUT) for big inputs on slow
+#: phases of this VM, where 6 reps at a low core count can exceed 1 h
+REPS = int(os.environ.get("SCALING_REPS", "6"))
+TRIAL_TIMEOUT = int(os.environ.get("SCALING_TRIAL_TIMEOUT", "3600"))
+
+
+def trial(cpus: int, tokens_path: str, reps: int = REPS
           ) -> tuple[list[float], list[float], list[float], list[float]]:
     """One session: warmup, then ``reps`` timed runs of each path,
     alternating, with a box-speed probe before each pair. Run this in
@@ -249,7 +256,8 @@ def main() -> None:
             "print('RESULT ' + json.dumps([tp, tl, tf, bsi]))\n"
             % (REPO, os.path.join(REPO, "BENCH"), cpus, tokens_path))
         out = subprocess.run([sys.executable, "-c", code], cwd=REPO,
-                             capture_output=True, text=True, timeout=3600)
+                             capture_output=True, text=True,
+                             timeout=TRIAL_TIMEOUT)
         for line in out.stdout.splitlines():
             if line.startswith("RESULT "):
                 tp, tl, tf, bsi = json.loads(line[len("RESULT "):])

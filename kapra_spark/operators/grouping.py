@@ -141,7 +141,12 @@ def kp_anonymize(tokens_df: DataFrame, k: int, p: int, paa: int, l: int = 1,
     assignment = pmod(xxhash64(doc_id), n_splits), independent of
     partition layout) and anonymized independently. This removes the
     one-hot-source = one-Arrow-batch scale bound; (k,P)/l guarantees
-    hold per split because groups never span splits.
+    hold per split because groups never span splits — groupings are
+    locally rather than globally optimal. For giant sources where that
+    semantic trade is unacceptable, use
+    ``operators.anonymize_dist.kp_anonymize_distributed``, which keeps
+    reference semantics (groups span the source) with records
+    distributed through every phase.
     """
     if k < p:
         raise ValueError("k must be >= P (reference k_P_anonymity.py:40-44)")
