@@ -27,19 +27,42 @@ def _sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
-def ensure_tokens(spark, n: int, n_tok: int, path: str) -> float:
-    """Generate the bench tokens table if absent; returns the wall
-    seconds spent generating (0.0 when the cached copy is reused).
-    Uses the vectorized counter-stream generator (datagen fast path)."""
+def ensure_tokens(spark, n: int, n_tok: int, path: str) -> tuple[float, bool]:
+    """Generate the bench tokens table if absent; returns (wall seconds
+    spent generating — 0.0 when the cached copy is reused, generated?).
+    Uses the vectorized counter-stream generator (datagen fast path).
+    NEVER regenerates an existing table (round-4 lesson: a silent
+    regeneration mid-series broke round-over-round comparability);
+    delete the directory explicitly to regenerate, and the digest in
+    the bench JSON will record that the input changed."""
     if os.path.exists(os.path.join(path, "_SUCCESS")):
-        return 0.0
+        return 0.0, False
     from kapra_spark import datagen
 
+    print(f"bench: generating NEW input table at {path} — "
+          f"round-over-round comparability resets here", file=sys.stderr)
     parts = max(64, n // 10_000)
     t0 = time.time()
     datagen.tokens_df(spark, n, n_tok=n_tok, partitions=parts, fast=True) \
         .write.mode("overwrite").parquet(path)
-    return round(time.time() - t0, 3)
+    return round(time.time() - t0, 3), True
+
+
+def input_digest(path: str) -> str:
+    """md5 over the byte-concatenation of the table's part files in
+    sorted name order — pins the EXACT input identity in the bench
+    JSON so a regenerated (even distributionally-identical) table is
+    visible as a digest change. ~30 MB at sf0.1: negligible cost."""
+    import hashlib
+
+    h = hashlib.md5()
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        with open(os.path.join(path, name), "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+    return h.hexdigest()
 
 
 def main() -> None:
@@ -65,7 +88,8 @@ def main() -> None:
     n_tok = 144
     tokens_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".bench_data", f"tokens_{n_series}_{n_tok}_f1")
-    setup_gen_sec = ensure_tokens(spark, n_series, n_tok, tokens_path)
+    setup_gen_sec, generated = ensure_tokens(spark, n_series, n_tok,
+                                             tokens_path)
 
     import __spark_entry__ as E
     from kapra_spark.operators import rollup as R
@@ -165,8 +189,11 @@ def main() -> None:
     timed("join_broadcast", lambda: E.q_join_broadcast(spark, sf_dir).count())
 
     # clamp to >= 1: ROUNDS=0 would leave `timings` empty and the
-    # points_per_sec extras below would KeyError
-    run_rounds(max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))))
+    # points_per_sec extras below would KeyError. Default 6: the box's
+    # throughput is bimodal on a minutes scale and min-of-3 proved too
+    # few samples to straddle a degraded phase (round-4 regression was
+    # phase noise, not plan change)
+    run_rounds(max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "6"))))
 
     # PNG decode throughput (directive: measured MB/s for the
     # vectorized unfilter) — one 256x256 RGB image per filter type
@@ -203,6 +230,8 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "setup_gen_sec": setup_gen_sec,
+        "input_generated_this_run": generated,
+        "tokens_input_digest": input_digest(tokens_path),
         "n_series": n_series,
         "n_tok": n_tok,
         **extras,

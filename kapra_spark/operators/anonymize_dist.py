@@ -22,7 +22,21 @@ How each phase distributes (the 10^12-sequence shapes):
 - **C5 merge** is exact on envelope summaries (VL is envelope-
   determined, SURVEY.md §2.9): one ``groupBy(p-subgroup)`` envelope
   aggregate, then ``clustering.kgroups_from_subgroups`` (again the
-  shared decision core) on the driver over one row per subgroup.
+  shared decision core). Up to ``c5_exact_max`` subgroups the core
+  runs on the driver over one row per subgroup — O(n_subgroups^2)
+  time, O(n_subgroups * T) memory, i.e. RECORDS-scaled (≈ n/P
+  subgroups for a giant source), fine to ~1e5 subgroups and a
+  bottleneck beyond. Above the threshold the SHARDED variant engages:
+  subgroup summaries stay in a DataFrame, are sharded into bounded
+  contiguous ranges of the same DFS pgl order (tree locality as the
+  envelope-locality proxy), and the SAME decision core runs per shard
+  in ``applyInPandas``; driver state is then one row per P-GROUP
+  (leaf-metadata-sized), never per subgroup. The sharded grouping is
+  a deliberate approximation of the sequential global greedy (shards
+  never merge across their boundary — reference semantics are
+  inherently sequential here) that preserves every k/P/l invariant
+  and is parity-equal to the exact core whenever one shard covers all
+  subgroups (tests/test_anonymize_dist.py).
 - **C5 preprocessing** (splitting P-groups >= 2P via C1+C2) is the one
   genuinely sequential-greedy part (reference ``includes/common.py``);
   it runs per-P-GROUP in ``applyInPandas`` — embarrassingly parallel
@@ -59,9 +73,11 @@ row-for-row equality; the quirk-exact ``kp_anonymize`` remains the
 reference-parity path (product golden) — canonical mode differs from
 it only in the order-contract points above.
 
-Driver-side state is node/leaf/subgroup METADATA only (one row per
-leaf / subgroup / k-group, never per record); every per-record
-operation is a DataFrame op.
+Driver-side state is node/leaf/P-group METADATA (one row per leaf /
+P-group) plus — on the exact C5 path only — one row per SUBGROUP
+(records-scaled for a giant source; the sharded path above
+``c5_exact_max`` removes it). Every per-record operation is a
+DataFrame op on both paths.
 """
 
 from __future__ import annotations
@@ -83,6 +99,8 @@ _SPLIT_SCHEMA = "doc_id string, pg int, sub int, pos int"
 _ENV_SCHEMA = ("pg int, sub int, hi array<double>, lo array<double>, "
                "phi array<long>, plo array<long>, n long")
 _LDIV_SCHEMA = "doc_id string, as_perturbed long"
+_SUBMAP_SCHEMA = ("pg int, sub int, kg long, rank int, "
+                  "glo array<long>, ghi array<long>")
 
 
 # ---------------------------------------------------------------------------
@@ -260,7 +278,9 @@ def kp_anonymize_canonical(tokens_df: DataFrame, k: int, p: int, paa: int,
 
 def _one_source(tokens_src: DataFrame, source: str, k: int, p: int,
                 paa: int, l: int, seed: int,
-                max_level: int = S.MAX_LEVEL) -> DataFrame:
+                max_level: int = S.MAX_LEVEL,
+                c5_shard_size: int | None = None,
+                c5_exact_max: int = 100_000) -> DataFrame:
     spark = tokens_src.sparkSession
     toks = tokens_src.select("doc_id", "tokens").cache()
     pats = pattern_arrays(toks, paa, max_level).cache()
@@ -373,7 +393,7 @@ def _one_source(tokens_src: DataFrame, source: str, k: int, p: int,
         assignment = base_assign
     assignment = assignment.localCheckpoint()
 
-    # ---- subgroup envelopes (ONE subgroup-metadata-sized collect) -----
+    # ---- subgroup envelopes ------------------------------------------
     def env_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(pdf["tokens"].to_numpy()).astype(np.float64)[:, :-1]
         hi, lo, n = envelope(m)
@@ -384,62 +404,141 @@ def _one_source(tokens_src: DataFrame, source: str, k: int, p: int,
             "plo": [m.min(axis=0).astype(np.int64).tolist()],
             "n": [int(n)]})
 
-    env_rows = (assignment.join(toks, "doc_id")
-                .groupBy("pg", "sub")
-                .applyInPandas(env_kernel, _ENV_SCHEMA)
-                .collect())
-    env_map = {(r["pg"], r["sub"]): r for r in env_rows}
+    env_df = (assignment.join(toks, "doc_id")
+              .groupBy("pg", "sub")
+              .applyInPandas(env_kernel, _ENV_SCHEMA))
 
-    # pgl order contract: unsplit groups by index, then split products
-    # by (group index, sub index) — the reference's list construction
-    ordered_keys = [(gi, 0) for gi in range(len(pgroups))
-                    if gi not in set(oversized)]
-    for gi in oversized:
-        subs = sorted(s for (g, s) in env_map if g == gi)
-        ordered_keys.extend((gi, s) for s in subs)
-    ordered_keys = [key for key in ordered_keys if key in env_map]
-
-    t = len(env_map[ordered_keys[0]]["hi"]) if ordered_keys else 1
-    pgl = [C.SubgroupMeta(
-        handle=key,
-        hi=np.asarray(env_map[key]["hi"], np.float64),
-        lo=np.asarray(env_map[key]["lo"], np.float64),
-        n=int(env_map[key]["n"]),
-        phi=np.asarray(env_map[key]["phi"], np.int64),
-        plo=np.asarray(env_map[key]["plo"], np.int64)) for key in ordered_keys]
-
-    # ---- C5 merge on envelope summaries (driver, shared core) ---------
-    gl, unplaced = C.kgroups_from_subgroups(pgl, k, t)
-
-    sub_map_rows = []
+    # subgroup counts per P-group (one row per P-GROUP — leaf-metadata-
+    # sized) decide exact vs sharded BEFORE any per-subgroup collect
+    unsplit_gis = [gi for gi in range(len(pgroups))
+                   if gi not in set(oversized)]
+    ns_by_pg = {gi: 1 for gi in unsplit_gis}
+    if oversized:
+        for r in (assignment.join(F.broadcast(spark.createDataFrame(
+                [(gi,) for gi in oversized], "pg int")), "pg")
+                .groupBy("pg").agg((F.max("sub") + 1).alias("ns"))
+                .collect()):
+            ns_by_pg[r["pg"]] = int(r["ns"])
+    n_subgroups = sum(ns_by_pg.values())
     pattern_of_group = {gi: pat for gi, (pat, _, _, _) in enumerate(pgroups)}
-    for kg_idx, members in enumerate(gl):
-        for rank, m in enumerate(members):
+
+    # ---- C5 merge: exact (driver greedy over ALL subgroup summaries,
+    # O(n_subgroups^2) time — fine to ~1e5) or sharded (the SAME greedy
+    # per bounded shard of DFS-adjacent subgroups, inside applyInPandas
+    # — driver state stays P-group-metadata-sized) ----------------------
+    use_sharded = n_subgroups > max(c5_exact_max, 0)
+    if not use_sharded:
+        env_rows = env_df.collect()
+        env_map = {(r["pg"], r["sub"]): r for r in env_rows}
+
+        # pgl order contract: unsplit groups by index, then split
+        # products by (group index, sub index) — the reference's list
+        # construction
+        ordered_keys = [(gi, 0) for gi in unsplit_gis]
+        for gi in oversized:
+            subs = sorted(s for (g, s) in env_map if g == gi)
+            ordered_keys.extend((gi, s) for s in subs)
+        ordered_keys = [key for key in ordered_keys if key in env_map]
+
+        t = len(env_map[ordered_keys[0]]["hi"]) if ordered_keys else 1
+        pgl = [C.SubgroupMeta(
+            handle=key,
+            hi=np.asarray(env_map[key]["hi"], np.float64),
+            lo=np.asarray(env_map[key]["lo"], np.float64),
+            n=int(env_map[key]["n"]),
+            phi=np.asarray(env_map[key]["phi"], np.int64),
+            plo=np.asarray(env_map[key]["plo"], np.int64))
+            for key in ordered_keys]
+        gl, unplaced = C.kgroups_from_subgroups(pgl, k, t)
+
+        sub_map_rows = []
+        for kg_idx, members in enumerate(gl):
+            glo = np.minimum.reduce([m.plo for m in members]).tolist()
+            ghi = np.maximum.reduce([m.phi for m in members]).tolist()
+            for rank, m in enumerate(members):
+                gi, si = m.handle
+                sub_map_rows.append((gi, si, kg_idx, rank, glo, ghi))
+        for m in unplaced:
             gi, si = m.handle
-            sub_map_rows.append((gi, si, kg_idx, rank, pattern_of_group[gi]))
-    unplaced_keys = [m.handle for m in unplaced]
+            sub_map_rows.append((gi, si, -1, 0, None, None))
+        sub_map_df = F.broadcast(spark.createDataFrame(
+            sub_map_rows, _SUBMAP_SCHEMA))
+    else:
+        # shard = a contiguous range of the SAME pgl order (DFS-adjacent
+        # subgroups share tree locality, the cheap envelope-locality
+        # proxy); each shard runs the exact decision core unchanged.
+        # This is the explicitly-flagged scale variant: k-groups never
+        # merge across shards, so the grouping differs from the exact
+        # global greedy (every k/P/l invariant still holds — each shard
+        # has >= shard_size >= k records, so kgroups_from_subgroups
+        # always forms k-groups and attaches leftovers in-shard).
+        shard_size = int(c5_shard_size or max(4096, 4 * k))
+        shard_size = max(shard_size, k, 2)
+        off_rows, acc = [], 0
+        for gi in unsplit_gis:
+            off_rows.append((gi, acc))
+            acc += 1
+        for gi in oversized:
+            off_rows.append((gi, acc))
+            acc += ns_by_pg[gi]
+        off_df = F.broadcast(spark.createDataFrame(
+            off_rows, "pg int, off long"))
+        n_shards = max(1, n_subgroups // shard_size)
+        kg_stride = 2 * shard_size   # last shard <= 2*shard_size - 1 subgroups
+        env_idx = (env_df.join(off_df, "pg")
+                   .withColumn("idx", F.col("off") + F.col("sub"))
+                   .withColumn("shard", F.least(
+                       F.floor(F.col("idx") / shard_size),
+                       F.lit(n_shards - 1)).cast("int")))
 
-    if not sub_map_rows:   # no k-group could form: suppress everything
-        out = suppressed_df(assignment.select("doc_id"))
-        toks.unpersist()
-        return out
+        def shard_kernel(key, pdf):
+            shard = int(key[0])
+            pdf = pdf.sort_values("idx").reset_index(drop=True)
+            t_loc = len(pdf["hi"].iloc[0])
+            pgl_loc = [C.SubgroupMeta(
+                handle=(int(pdf["pg"].iloc[i]), int(pdf["sub"].iloc[i])),
+                hi=np.asarray(pdf["hi"].iloc[i], np.float64),
+                lo=np.asarray(pdf["lo"].iloc[i], np.float64),
+                n=int(pdf["n"].iloc[i]),
+                phi=np.asarray(pdf["phi"].iloc[i], np.int64),
+                plo=np.asarray(pdf["plo"].iloc[i], np.int64))
+                for i in range(len(pdf))]
+            gl_loc, unplaced_loc = C.kgroups_from_subgroups(pgl_loc, k, t_loc)
+            rows = []
+            for local, members in enumerate(gl_loc):
+                glo = np.minimum.reduce([m.plo for m in members]).tolist()
+                ghi = np.maximum.reduce([m.phi for m in members]).tolist()
+                kg = shard * kg_stride + local
+                for rank, m in enumerate(members):
+                    gi, si = m.handle
+                    rows.append((gi, si, kg, rank, glo, ghi))
+            for m in unplaced_loc:   # only when a shard's card < k
+                gi, si = m.handle
+                rows.append((gi, si, -1, 0, None, None))
+            return pd.DataFrame(
+                rows, columns=["pg", "sub", "kg", "rank", "glo", "ghi"])
 
-    sub_map = F.broadcast(spark.createDataFrame(
-        sub_map_rows, "pg int, sub int, kg int, rank int, pattern string"))
-    a2 = assignment.join(sub_map, ["pg", "sub"])
+        sub_map_df = (env_idx.groupBy("shard")
+                      .applyInPandas(shard_kernel, _SUBMAP_SCHEMA))
 
-    # ---- F9: l-diversity per PS_R ------------------------------------
+    # ---- common downstream: F9 + render off the subgroup map ----------
+    pat_df = F.broadcast(spark.createDataFrame(
+        list(pattern_of_group.items()), "pg int, pattern string"))
+    a2all = assignment.join(sub_map_df, ["pg", "sub"]).join(pat_df, "pg")
+    a2 = a2all.filter(F.col("kg") >= 0)
+    unplaced_docs = a2all.filter(F.col("kg") < 0).select("doc_id")
+
+    # ---- F9: l-diversity per PS_R (seed derived IN the kernel — no
+    # driver-side per-k-group state) ------------------------------------
     sens = toks.select("doc_id",
                        F.element_at("tokens", -1).cast("long").alias("_sv"))
     w_first = Window.partitionBy("doc_id").orderBy("kg", "rank", "pos")
-    seed_by_kgpat = {(kg, pat): C.stable_seed(seed, source, "ldiv", kg, pat)
-                     for (_, _, kg, _, pat) in sub_map_rows}
 
     def ldiv_kernel(key, pdf):
         kg, pat = int(key[0]), str(key[1])
         pdf = pdf.sort_values(["rank", "pos", "doc_id"]).reset_index(drop=True)
         vals = _ldiv_one_psr([int(v) for v in pdf["_sv"]], pat, l,
-                             seed_by_kgpat[(kg, pat)])
+                             C.stable_seed(seed, source, "ldiv", kg, pat))
         return pd.DataFrame({"doc_id": pdf["doc_id"],
                              "as_perturbed": np.array(vals, np.int64)})
 
@@ -449,36 +548,27 @@ def _one_source(tokens_src: DataFrame, source: str, k: int, p: int,
                 .groupBy("kg", "pattern")
                 .applyInPandas(ldiv_kernel, _LDIV_SCHEMA))
 
-    # ---- render: last k-group wins; k-group envelopes from subgroup
-    # plain-bound unions (exact: min/max ignore duplicates) -------------
-    kg_rows = []
-    for kg_idx, members in enumerate(gl):
-        glo = np.minimum.reduce([m.plo for m in members]).tolist()
-        ghi = np.maximum.reduce([m.phi for m in members]).tolist()
-        kg_rows.append((kg_idx, glo, ghi))
-    kg_env = F.broadcast(spark.createDataFrame(
-        kg_rows, "kg int, glo array<long>, ghi array<long>"))
-
+    # ---- render: last k-group wins; the k-group envelope (glo/ghi,
+    # plain-bound union over members — exact, min/max ignore duplicates)
+    # rides on every subgroup-map row -----------------------------------
     w_last = Window.partitionBy("doc_id").orderBy(
         F.desc("kg"), F.desc("rank"), F.desc("pos"))
     rendered = (a2.withColumn("_rn", F.row_number().over(w_last))
                 .filter(F.col("_rn") == 1).drop("_rn")
                 .join(ldiv_out, "doc_id")
-                .join(kg_env, "kg")
                 .select("doc_id", F.lit(source).alias("source"),
                         F.concat(F.lit(f"{source}#"), F.col("kg"))
                         .alias("group_id"),
                         F.col("pattern").alias("sax"),
                         "as_perturbed",
                         F.col("glo").alias("lo"), F.col("ghi").alias("hi"),
-                        F.lit(False).alias("suppressed")))
+                        F.lit(False).alias("suppressed"))
+                # suppression wins for a quirk-duplicated record that
+                # landed in both a k-group and an unplaced subgroup
+                # (the canonical twin's rowmap overwrite order)
+                .join(unplaced_docs, "doc_id", "left_anti"))
 
-    extra_sup = None
-    if unplaced_keys:
-        up_df = F.broadcast(spark.createDataFrame(
-            unplaced_keys, "pg int, sub int"))
-        extra_sup = assignment.join(up_df, ["pg", "sub"]).select("doc_id")
-    out = rendered.unionByName(suppressed_df(extra_sup))
+    out = rendered.unionByName(suppressed_df(unplaced_docs))
     toks.unpersist()
     return out
 
@@ -486,7 +576,10 @@ def _one_source(tokens_src: DataFrame, source: str, k: int, p: int,
 def kp_anonymize_distributed(tokens_df: DataFrame, k: int, p: int, paa: int,
                              l: int = 1, seed: int = 42,
                              group_col: str = "source",
-                             max_level: int = S.MAX_LEVEL) -> DataFrame:
+                             max_level: int = S.MAX_LEVEL,
+                             max_sources: int = 100,
+                             c5_shard_size: int | None = None,
+                             c5_exact_max: int = 100_000) -> DataFrame:
     """(k,P)-anonymity with l-diversity, records distributed through
     EVERY phase — the scale path for sources too large for one Arrow
     batch (``kp_anonymize``'s bound), replacing the semantics-changing
@@ -500,14 +593,39 @@ def kp_anonymize_distributed(tokens_df: DataFrame, k: int, p: int, paa: int,
 
     Sources are processed as independent trees in a driver loop (the
     intended workload is few giant sources; for many small sources use
-    ``kp_anonymize``, whose per-source kernel is one task each)."""
+    ``kp_anonymize``, whose per-source kernel is one task each).
+    ``max_sources`` guards against that misuse: above it the union plan
+    would have one branch per source and the driver loop one tree per
+    source, so the call fails fast with a pointer at ``kp_anonymize``
+    instead of building a pathological plan.
+
+    C5 scale knobs (see :func:`_one_source`): when a source produces
+    more than ``c5_exact_max`` P-subgroups the bottom-up merge switches
+    from the exact driver greedy — O(n_subgroups^2) driver time,
+    O(n_subgroups * T) driver memory — to the SHARDED greedy: the same
+    decision core run per bounded shard of DFS-adjacent subgroups
+    inside ``applyInPandas``, with only per-P-group counts on the
+    driver. ``c5_shard_size`` (default ``max(4096, 4k)``) bounds each
+    shard; set ``c5_exact_max=0`` to force the sharded path, or a huge
+    value to force the exact path."""
     if k < p:
         raise ValueError("k must be >= P (reference k_P_anonymity.py:40-44)")
     sources = sorted(r[0] for r in
                      tokens_df.select(group_col).distinct().collect())
+    if len(sources) > max_sources:
+        raise ValueError(
+            f"kp_anonymize_distributed saw {len(sources)} distinct "
+            f"{group_col!r} values (max_sources={max_sources}). This "
+            f"operator builds one distributed tree per source and is "
+            f"meant for FEW GIANT sources; for many smaller sources "
+            f"use kp_anonymize (one applyInPandas task per source), "
+            f"or raise max_sources explicitly if you really want a "
+            f"{len(sources)}-branch union plan.")
     outs = [_one_source(
         tokens_df.filter(F.col(group_col) == s).select("doc_id", "tokens"),
-        s, k, p, paa, l, seed, max_level) for s in sources]
+        s, k, p, paa, l, seed, max_level,
+        c5_shard_size=c5_shard_size, c5_exact_max=c5_exact_max)
+        for s in sources]
     if not outs:
         return tokens_df.sparkSession.createDataFrame([], ANON_SCHEMA)
     return reduce(lambda a, b: a.unionByName(b), outs)

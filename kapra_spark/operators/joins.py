@@ -36,34 +36,37 @@ def _auto_skew_bucket_seconds(
     share_threshold: float = 0.2,
     target_buckets: int = 64,
     sample_fraction: float = 0.01,
-    sample_cap: int = 100_000,
     min_sample: int = 500,
     seed: int = 13,
 ) -> int | None:
-    """Decide ``skew_bucket_seconds`` from a CHEAP key-frequency sample
-    (fixed Bernoulli fraction + early-exit limit — never a full pass,
-    same pattern as the IVF sampler). Returns a bucket width iff some
-    ``by`` key holds >= ``share_threshold`` of the sampled rows — the
-    regime where that key's window sort serializes a that-fraction of
-    the whole join in ONE task — sized so the hot key splits into
+    """Decide ``skew_bucket_seconds`` from a CHEAP distributed
+    key-frequency sample: ONE Bernoulli-sampled aggregate job
+    (column-pruned scan → per-key partial aggregation → a single
+    4-field summary row collected). Every partition contributes, so a
+    hot key clustered late in the scan is weighted the same as an early
+    one — no scan-prefix bias. Returns a bucket width iff some ``by``
+    key holds >= ``share_threshold`` of the sampled rows — the regime
+    where that key's window sort serializes that fraction of the whole
+    join in ONE task — sized so the hot key splits into
     ~``target_buckets`` window tasks. Returns None (global path) for
-    high-cardinality/uniform keys or inputs too small to matter.
-
-    The limit means the sample can be a scan-prefix: the time span may
-    be underestimated (→ narrower buckets, MORE parallelism — the safe
-    direction) and a key clustered late in the scan can be missed; for
-    time-partitioned stores the prefix covers whole partitions, where
-    hot keys recur per partition, so the share estimate holds."""
+    high-cardinality/uniform keys or inputs too small to matter."""
     samp = (left.select(*by, F.col(ts_col).cast("timestamp").alias("_t"))
-            .sample(fraction=sample_fraction, seed=seed)
-            .limit(sample_cap).toPandas())
-    if len(samp) < min_sample:
+            .sample(fraction=sample_fraction, seed=seed))
+    row = (samp.groupBy(*by)
+           .agg(F.count("*").alias("_c"),
+                F.min("_t").alias("_mn"), F.max("_t").alias("_mx"))
+           .agg(F.sum("_c").alias("_n"), F.max("_c").alias("_top"),
+                F.min("_mn").alias("_lo"), F.max("_mx").alias("_hi"))
+           .collect()[0])
+    n = row["_n"] or 0
+    if n < min_sample:
         return None
-    top = samp.groupby(by).size().max() / len(samp)
-    if top < share_threshold:
+    if row["_top"] / n < share_threshold:
         return None
-    span = (samp["_t"].max() - samp["_t"].min()).total_seconds()
-    if not span or span <= 0:
+    if row["_lo"] is None or row["_hi"] is None:
+        return None
+    span = (row["_hi"] - row["_lo"]).total_seconds()
+    if not (span > 0):   # positive check: handles 0 and NaN uniformly
         return None
     return max(1, int(span // target_buckets))
 
@@ -101,8 +104,8 @@ def asof_join(
     the user who doesn't know they have a hot key still gets the
     mitigation, and uniform high-cardinality keys keep the one-shuffle
     global plan. ``auto_opts`` overrides the sampler's knobs
-    (share_threshold, target_buckets, sample_fraction, sample_cap,
-    min_sample, seed — see :func:`_auto_skew_bucket_seconds`).
+    (share_threshold, target_buckets, sample_fraction, min_sample,
+    seed — see :func:`_auto_skew_bucket_seconds`).
     """
     by = [by] if isinstance(by, str) else list(by)
     if skew_bucket_seconds == "auto":

@@ -133,8 +133,11 @@ def ivf_train_centroids(corpus: DataFrame, n_cells: int = 64,
     fraction. The residual bias (rows come from the scan prefix) is
     acceptable for k-means *seeding* — dead-cell reseeding and the
     Lloyd iterations correct it. A small corpus that yields fewer than
-    ``target`` sampled rows falls back to fraction 1.0 (second scan of
-    a small input, still no count). Lloyd iterations run as NumPy
+    ``target`` sampled rows falls back to a second scan taking the
+    ``target`` smallest rows by vector hash (a deterministic
+    shuffle-ish ordering via TakeOrderedAndProject — NOT a scan
+    prefix, so a clustered/sorted small corpus still seeds from all
+    regions; still no count()). Lloyd iterations run as NumPy
     matmuls on the driver — centroids are (n_cells, dim), a few MB at
     any realistic dim. Vectors are unit-normalized so cosine
     assignment == max dot product."""
@@ -143,7 +146,9 @@ def ivf_train_centroids(corpus: DataFrame, n_cells: int = 64,
     sample = (corpus.select(vec_col).sample(fraction=frac, seed=seed)
               .limit(target).toPandas())
     if len(sample) < target:
-        sample = corpus.select(vec_col).limit(target).toPandas()
+        sample = (corpus.select(vec_col)
+                  .orderBy(F.xxhash64(vec_col))
+                  .limit(target).toPandas())
     m = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 

@@ -164,7 +164,14 @@ def create_tree_distributed(tokens_df: DataFrame, p_value: int,
         next_keys: dict[str, str] = {}
 
         def ranked(items: list[tuple[str, str]]) -> dict[str, int]:
-            """child_pat -> rank among these siblings by min doc_id."""
+            """child_pat -> rank among these siblings by min doc_id.
+            The order_key contract encodes ranks as exactly 6 digits;
+            fail loudly rather than emit a 7-char token that would
+            silently break lexicographic DFS ordering."""
+            if len(items) > 1_000_000:
+                raise ValueError(
+                    "order_key overflow: a node has more than 10^6 "
+                    "children in one phase (rank token is 6 digits)")
             return {cp: i for i, (cp, _) in
                     enumerate(sorted(items, key=lambda x: x[1]))}
 
@@ -401,14 +408,21 @@ def _tree_dataframe_decisions(spark, pats: DataFrame, p_value: int,
         contc = ch.filter((F.col("case") == "split") | (~F.col("is_tb")))
         phase = (F.when(F.col("case") == "tbmerge", F.lit("2"))
                  .when(F.col("is_tb"), F.lit("1")).otherwise(F.lit("2")))
+        # rank token is exactly 6 digits; lpad would TRUNCATE >= 10^6
+        # and silently break DFS ordering — fail loudly instead (same
+        # guard as the collecting path's ranked())
+        rank_tok = F.when(
+            F.col("rank") <= 999_999,
+            F.lpad(F.col("rank").cast("string"), 6, "0")
+        ).otherwise(F.raise_error(F.lit(
+            "order_key overflow: a node has more than 10^6 children "
+            "in one phase (rank token is 6 digits)")))
         new_nodes = (contc.select(
             "node_id", "cp",
             F.concat("node_id", F.lit("|"), "cp").alias("new_node_id"),
             (F.col("lvl") + 1).alias("new_lvl"),
             F.col("cp").alias("new_pattern"),
-            F.concat("okey", phase,
-                     F.lpad(F.col("rank").cast("string"), 6, "0"))
-            .alias("new_okey")))
+            F.concat("okey", phase, rank_tok).alias("new_okey")))
 
         frontier = (fr_cp.join(
             F.broadcast(new_nodes.select("node_id", "cp", "new_node_id")),

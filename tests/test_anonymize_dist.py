@@ -88,6 +88,73 @@ def test_distributed_giant_source_invariants(spark):
         assert (v <= np.asarray(row.hi)).all()
 
 
+def test_c5_sharded_single_shard_equals_exact(spark):
+    """The sharded C5 path with one shard covering every subgroup IS
+    the exact core: same decision sequence, same k-group numbering
+    (shard 0 * stride + local == exact index), same envelopes and
+    l-diversity seeds — so the output is row-for-row equal to the
+    exact driver-greedy path."""
+    pdf = datagen.tokens_pdf(250, n_tok=13, seed=11, gap_fraction=0.0)
+    tokens = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+    exact = _norm(kp_anonymize_distributed(tokens, k=8, p=4, paa=4, l=2)
+                  .toPandas())
+    shard = _norm(kp_anonymize_distributed(tokens, k=8, p=4, paa=4, l=2,
+                                           c5_exact_max=0,
+                                           c5_shard_size=1_000_000)
+                  .toPandas())
+    pd.testing.assert_frame_equal(exact, shard)
+
+
+def test_c5_sharded_multi_shard_invariants(spark):
+    """Multi-shard C5 (the 10^12-sequence giant-source path, forced
+    here with a tiny shard size): the grouping legitimately differs
+    from the global greedy, but every (k, P, l) guarantee holds, every
+    record is accounted for exactly once, the suppressed set equals
+    the exact path's (shards always have >= shard_size >= k records,
+    so no k-group-formation failures are introduced), and the result
+    is independent of the input partition layout."""
+    k, p, l = 8, 4, 2
+    pdf = datagen.tokens_pdf(600, n_tok=13, seed=31, gap_fraction=0.0)
+    pdf["source"] = "giant"
+    tokens = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+    out = kp_anonymize_distributed(tokens, k=k, p=p, paa=4, l=l,
+                                   c5_exact_max=0, c5_shard_size=16
+                                   ).toPandas()
+    assert len(out) == 600
+    assert out["doc_id"].nunique() == 600
+    grouped = out[~out["suppressed"]]
+    assert (grouped.groupby("group_id").size() >= k).all()
+    assert (grouped.groupby(["group_id", "sax"]).size() >= p).all()
+    for (_, _), sub in grouped.groupby(["group_id", "sax"]):
+        vc = sub["as_perturbed"].value_counts()
+        assert vc.iloc[0] <= np.floor(len(sub) / l) or vc.iloc[0] == 1
+    toks = {r.doc_id: np.asarray(r.tokens[:-1]) for r in pdf.itertuples()}
+    for row in grouped.head(50).itertuples():
+        v = toks[row.doc_id]
+        assert (v >= np.asarray(row.lo)).all()
+        assert (v <= np.asarray(row.hi)).all()
+
+    exact = kp_anonymize_distributed(tokens, k=k, p=p, paa=4, l=l).toPandas()
+    assert (set(out[out["suppressed"]]["doc_id"])
+            == set(exact[exact["suppressed"]]["doc_id"]))
+
+    relay = _norm(kp_anonymize_distributed(
+        tokens.repartition(13, "doc_id"), k=k, p=p, paa=4, l=l,
+        c5_exact_max=0, c5_shard_size=16).toPandas())
+    pd.testing.assert_frame_equal(_norm(out), relay)
+
+
+def test_many_source_guard(spark):
+    """kp_anonymize_distributed builds one distributed tree per source;
+    above max_sources it must fail fast pointing at kp_anonymize
+    instead of building an N-branch union plan."""
+    pdf = datagen.tokens_pdf(30, n_tok=13, seed=1, gap_fraction=0.0)
+    pdf["source"] = [f"s{i}" for i in range(len(pdf))]
+    tokens = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+    with pytest.raises(ValueError, match="max_sources"):
+        kp_anonymize_distributed(tokens, k=4, p=2, paa=4, max_sources=10)
+
+
 def test_distributed_small_source_suppressed(spark):
     """A source with fewer than k records cannot form any k-group: all
     its records come back suppressed (the reference refuses such input;
