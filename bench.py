@@ -86,8 +86,14 @@ def main() -> None:
 
     n_series = max(1000, int(1_000_000 * sf))
     n_tok = 144
-    tokens_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".bench_data", f"tokens_{n_series}_{n_tok}_f1")
+    # SPARK_GRAFT_BENCH_TOKENS overrides the input table — used for
+    # input-attribution A/B runs (e.g. the r3-era legacy-generator
+    # table vs the pinned _f1 table on the same box phase); the digest
+    # in the JSON records which table actually ran
+    tokens_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_TOKENS",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_data", f"tokens_{n_series}_{n_tok}_f1"))
     setup_gen_sec, generated = ensure_tokens(spark, n_series, n_tok,
                                              tokens_path)
 
