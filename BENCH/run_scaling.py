@@ -33,7 +33,10 @@ memory-bound kernels, which no Spark plan can exceed on one box:
    ceiling eff is the number that transfers to a real cluster, where
    each executor brings its own memory controllers.
 
-Writes BENCH/BASELINE.md. Usage:
+Writes BENCH/scaling_last_run.md (override: SCALING_OUT=path).
+BENCH/BASELINE.md is CURATED — it holds the adjudicated history plus
+per-round addenda; never point SCALING_OUT at it from an automated
+run. Usage:
     python BENCH/run_scaling.py [n_series] [rounds]
 """
 
@@ -384,7 +387,8 @@ palestine; every Spark row above exceeds it by orders of magnitude.
 
 Raw: {json.dumps({'median_sec': med, 'iqr_sec': spread, 'throughput': thr, 'all_runs': results, 'calibration_Mops': cal})}
 """
-    out = os.path.join(REPO, "BENCH", "BASELINE.md")
+    out = os.environ.get(
+        "SCALING_OUT", os.path.join(REPO, "BENCH", "scaling_last_run.md"))
     with open(out, "w") as f:
         f.write(md)
     print(md)
