@@ -419,6 +419,19 @@ _SIMHASH_PLANTED = [
 ]
 
 
+def q_jaccard_ngram_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-bigram Jaccard similarity self-join at threshold 0.6
+    via prefix filtering (SSJoin/PPJoin family) — the deterministic
+    complement to the probabilistic MinHash path. The oracle is GROUND
+    TRUTH: DuckDB computes exact all-pairs bigram Jaccard; matching it
+    certifies that prefix filtering dropped NO qualifying pair."""
+    from kapra_spark.operators.dedup import jaccard_ngram_join
+
+    docs = _read(spark, sf_dir, "documents")
+    return (jaccard_ngram_join(docs, threshold=0.6, n=2)
+            .select("id_a", "id_b", F.round("jaccard", 3).alias("jaccard")))
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup over a deterministic planted corpus (12 exact
     copies + 12 one-char variants on 120 random-word docs). Oracle =
@@ -1024,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kp_anonymize_kapra": q_kp_anonymize_kapra,
         "kp_anonymize_naive": q_kp_anonymize_naive,
         "minhash_neardup": q_minhash_neardup,
+        "jaccard_ngram_join": q_jaccard_ngram_join,
         "simhash_neardup": q_simhash_neardup,
         "tokens_rollup_1h": q_tokens_rollup_1h,
         "fused_production": q_fused_production,
@@ -1417,6 +1431,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = inter.id_a
             JOIN sz sb ON sb.doc_id = inter.id_b
             WHERE c / (sa.n + sb.n - c) >= 0.8
+        """,
+        # GROUND TRUTH for the prefix-filter join: exact all-pairs
+        # word-bigram Jaccard (no filtering at all on the oracle side)
+        "jaccard_ngram_join": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^0-9a-z]+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ), g AS (
+              SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS tok
+              FROM w,
+                   LATERAL (SELECT unnest(generate_series(
+                       1, len(ws) - 1)) AS i) t
+              WHERE len(ws) >= 2
+            ), sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM g a JOIN g b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 3) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = inter.id_a
+            JOIN sz sb ON sb.doc_id = inter.id_b
+            WHERE c / (sa.n + sb.n - c) >= 0.6
         """,
         "simhash_neardup": "SELECT * FROM (VALUES "
         + ", ".join(f"('{a}', '{b}', {h})" for a, b, h in _SIMHASH_PLANTED)

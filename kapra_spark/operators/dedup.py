@@ -487,3 +487,104 @@ def embedding_near_dups(emb_df: DataFrame, id_col: str = "vec_id",
     return (cand.withColumn("cosine", cos)
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity join (prefix filtering, no LSH)
+# ---------------------------------------------------------------------------
+
+def ngram_tokens(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """(doc_id, toks: array<string>, sz) — DISTINCT lowercase word
+    n-grams per doc, entirely with JVM built-ins (split / transform /
+    slice; no Python in the row path). Docs with fewer than ``n``
+    words produce no row (their n-gram set is empty, so they cannot
+    clear any positive Jaccard threshold)."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"[^0-9a-z]+"),
+                     lambda w: w != F.lit(""))
+    out = df.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+    if n == 1:
+        grams = F.col("_w")
+    else:
+        # sequence(1, 0) would be DESCENDING in Spark, so guard the
+        # shorter-than-n case explicitly with an empty array
+        grams = F.when(
+            F.size("_w") >= n,
+            F.expr(f"transform(sequence(1, size(_w) - {n - 1}), "
+                   f"i -> concat_ws(' ', slice(_w, i, {n})))")
+        ).otherwise(F.array().cast("array<string>"))
+    return (out.select("doc_id", F.array_distinct(grams).alias("toks"))
+            .withColumn("sz", F.size("toks"))
+            .filter(F.col("sz") > 0))
+
+
+def jaccard_ngram_join(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", threshold: float = 0.8,
+                       n: int = 2) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard similarity self-join at a
+    threshold, via prefix filtering (the SSJoin / PPJoin family:
+    Chaudhuri et al. ICDE'06, Xiao et al. WWW'08 — published work).
+    Complements the MinHash path (dedup.py:213): MinHash is
+    probabilistic with banding recall; this is exact, with NO
+    all-pairs stage — the only quadratic-risk key is a shared PREFIX
+    token, and prefixes hold each doc's globally RAREST tokens.
+
+    Plan shape (all JVM built-ins, zero Python row path):
+      1. token frequency: explode + groupBy(tok)       [shuffle: tok]
+      2. canonical rare-first ordering per doc:
+         join(tok freq) + groupBy(doc) + array_sort    [shuffle: doc]
+      3. prefix explode: first sz - ceil(t*sz) + 1 ordered tokens;
+         pigeonhole: two docs with Jaccard >= t MUST share a prefix
+         token under any shared total order
+      4. candidate pairs: self-join on prefix token with the
+         symmetric length filter least_sz >= ceil(t * greatest_sz)
+                                                       [shuffle: tok]
+      5. exact verify: array_intersect on full distinct-token arrays
+                                                       [shuffle: doc]
+
+    At web scale the inverted index in (4) is bounded by rarity: a
+    token lands in a doc's prefix only while it is among that doc's
+    least-frequent tokens, so boilerplate floods (hot tokens) are
+    excluded from prefixes by construction — the hot-bucket cap the
+    LSH path needs (lsh_candidate_pairs) has no analogue here. The
+    one true degenerate case, millions of EXACT copies (identical
+    rare prefixes), is removed upstream by exact_dedup, same as for
+    MinHash (``exact_first``).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= t.
+    """
+    toks = ngram_tokens(df, text_col, id_col, n=n)
+    freq = (toks.select(F.explode("toks").alias("tok"))
+            .groupBy("tok").agg(F.count("*").alias("cnt")))
+    ordered = (toks.select("doc_id", "sz", F.explode("toks").alias("tok"))
+               .join(freq, "tok")
+               .groupBy("doc_id", "sz")
+               .agg(F.array_sort(F.collect_list(F.struct("cnt", "tok")))
+                    .alias("_st"))
+               .select("doc_id", "sz",
+                       F.expr("transform(_st, x -> x.tok)").alias("toks")))
+    plen = (F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1) \
+        .cast("int")
+    prefix = ordered.select(
+        "doc_id", "sz",
+        F.explode(F.slice("toks", F.lit(1), plen)).alias("tok"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    t = F.lit(threshold)
+    cand = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & (F.least("a.sz", "b.sz")
+                      >= F.ceil(F.greatest("a.sz", "b.sz") * t)))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+            .distinct())
+    fa = ordered.select(F.col("doc_id").alias("id_a"),
+                        F.col("toks").alias("_ta"), F.col("sz").alias("_sa"))
+    fb = ordered.select(F.col("doc_id").alias("id_b"),
+                        F.col("toks").alias("_tb"), F.col("sz").alias("_sb"))
+    j = (cand.join(fa, "id_a").join(fb, "id_b")
+         .withColumn("inter", F.size(F.array_intersect("_ta", "_tb")))
+         .withColumn("jaccard",
+                     F.col("inter")
+                     / (F.col("_sa") + F.col("_sb") - F.col("inter"))))
+    return (j.filter(F.col("jaccard") >= t)
+            .select("id_a", "id_b", "jaccard"))

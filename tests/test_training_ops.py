@@ -496,3 +496,65 @@ def test_real_decoder_features(spark):
     for f in au:
         assert 0.05 <= f[0] <= 0.6
         assert 0.2 <= f[1] <= 0.5
+
+
+def test_jaccard_ngram_join_exact_vs_python(spark, docs):
+    """Prefix-filter join result == brute-force all-pairs bigram
+    Jaccard computed in plain Python (exactness: no qualifying pair
+    dropped, no extra pair, values exact)."""
+    from kapra_spark.operators.dedup import jaccard_ngram_join
+    import re
+
+    thr = 0.6
+    pdf = docs.select("doc_id", "text").toPandas()
+    sets = {}
+    for did, text in zip(pdf["doc_id"], pdf["text"]):
+        ws = [w for w in re.split(r"[^0-9a-z]+", text.lower()) if w]
+        sets[did] = {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+    ids = sorted(sets)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= thr:
+                want.add((a, b, round(j, 6)))
+    got = {(r.id_a, r.id_b, round(r.jaccard, 6))
+           for r in jaccard_ngram_join(docs, threshold=thr, n=2).collect()}
+    assert got == want and len(want) >= 3  # planted dups must appear
+
+
+def test_jaccard_ngram_join_threshold_boundary(spark):
+    """Handcrafted docs with known bigram Jaccard exercise the
+    threshold boundary and the length filter: 4/6 passes 0.6, 2/6
+    does not; the shorter-than-n doc contributes nothing."""
+    from kapra_spark.operators.dedup import jaccard_ngram_join
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"),       # bigrams {ab,bc,cd,de,ef,fg}
+         (2, "a b c d e f x"),       # shares {ab,bc,cd,de,ef} -> 5/7
+         (3, "a b c x y z"),         # shares {ab,bc} with 1 -> 2/9
+         (4, "solo")],               # < 2 words: no bigrams
+        ["doc_id", "text"])
+    got = {(r.id_a, r.id_b): round(r.jaccard, 4)
+           for r in jaccard_ngram_join(docs, "text", "doc_id",
+                                       threshold=0.6, n=2).collect()}
+    assert got == {(1, 2): round(5 / 7, 4)}
+    # at a lower threshold the weak pair appears too
+    got2 = {(r.id_a, r.id_b)
+            for r in jaccard_ngram_join(docs, "text", "doc_id",
+                                        threshold=0.2, n=2).collect()}
+    assert got2 == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_ngram_tokens_unigram_and_short_docs(spark):
+    from kapra_spark.operators.dedup import ngram_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, hello WORLD!"), (2, ""), (3, "  ...  ")],
+        ["doc_id", "text"])
+    out = {r.doc_id: sorted(r.toks)
+           for r in ngram_tokens(docs, n=1).collect()}
+    assert out == {1: ["hello", "world"]}  # empty-token docs dropped
