@@ -723,8 +723,8 @@ def q_streaming_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + feature extraction with the REAL stdlib
     codecs (PNG chunk/zlib/unfilter decode, WAV PCM16 decode) over a
-    deterministic table of valid payloads; video goes through the
-    loudly-stubbed path. Digest-pinned (rows-only): decode exactness
+    deterministic table of valid payloads; video decodes REAL
+    uncompressed AVIs (raw DIB frames). Digest-pinned (rows-only): decode exactness
     is carried by the round-trip pytests in test_training_ops.py."""
     from kapra_spark.operators.multimodal import (extract_features,
                                                   real_decoder,
@@ -1345,7 +1345,7 @@ def oracle_sql() -> dict[str, str]:
         # by the pytest parity suites; these rows pin them to the driver)
         "media_features": """
             SELECT CAST(24 AS BIGINT) AS n_rows,
-                   '433ab24807f30f79a549a07d286e27dc' AS digest
+                   '3528612fac1151c3a8066a19a521f29a' AS digest
         """,
         "tree_dist_parity": """
             SELECT CAST(300 AS BIGINT) AS n_rows,

@@ -8,9 +8,12 @@ Decoders (round-3 state):
   8-bit gray/RGB/RGBA. No external codec needed.
 - **WAV audio — REAL decode** via the stdlib ``wave`` module
   (PCM16 -> float32 mono waveform).
-- **video — STUBBED** (deterministic fake, clearly marked): there is
-  no stdlib MP4/H.264 decoder and the container ships no codec libs.
-  The frame-sampling planner and all Spark plumbing are real.
+- **video — REAL decode for uncompressed RIFF/AVI** (raw 24-bit
+  BI_RGB DIB frames, pure ``struct`` + NumPy chunk walking: the
+  AVI/RIFF container and BITMAPINFOHEADER layouts are public spec).
+  Compressed codecs (MP4/H.264/MJPG) still raise — no codec libs in
+  this container — and fall back to the loudly-marked stub. The
+  frame-sampling planner and all Spark plumbing are real either way.
 
 All the Spark-side machinery is real and tested either way: schema,
 partition-friendly layout, Arrow batch shapes, UDF signatures, frame
@@ -226,10 +229,116 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
     return x.astype(np.float32), rate
 
 
+def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Uncompressed RIFF/AVI writer (pure ``struct``): one 'vids'
+    stream of raw BI_RGB 24-bit DIB frames ('00db' chunks, bottom-up
+    BGR rows padded to 4-byte stride) + an idx1 index. The AVI/RIFF
+    container and BITMAPINFOHEADER layouts are the public Microsoft/
+    OpenDML spec. ``frames`` is uint8 shaped (n, h, w, 3) RGB."""
+    fr = np.asarray(frames, dtype=np.uint8)
+    if fr.ndim != 4 or fr.shape[3] != 3:
+        raise ValueError(f"frames must be (n, h, w, 3) uint8, got {fr.shape}")
+    n, h, w, _ = fr.shape
+    stride = (w * 3 + 3) // 4 * 4
+    row_pad = stride - w * 3
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return tag + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) % 2 else b"")
+
+    def lst(list_type: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", list_type + data)
+
+    frame_bytes = []
+    for i in range(n):
+        # bottom-up rows, BGR channel order, stride-padded
+        bgr = fr[i, ::-1, :, ::-1]
+        if row_pad:
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, :w * 3] = bgr.reshape(h, w * 3)
+            frame_bytes.append(rows.tobytes())
+        else:
+            frame_bytes.append(bgr.tobytes())
+    fsize = h * stride
+    avih = struct.pack("<14I", 1_000_000 // fps, fsize * fps, 0, 0x10,
+                       n, 0, 1, fsize, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + struct.pack("<I2HI", 0, 0, 0, 0)
+            + struct.pack("<6I", 1, fps, 0, n, fsize, 0xFFFFFFFF)
+            + struct.pack("<I4H", 0, 0, 0, w, h))
+    strf = struct.pack("<I2i2H6I", 40, w, h, 1, 24, 0, fsize, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_data, idx, off = b"", b"", 4
+    for fb in frame_bytes:
+        movi_data += chunk(b"00db", fb)
+        idx += b"00db" + struct.pack("<3I", 0x10, off, len(fb))
+        off += 8 + len(fb) + (len(fb) % 2)
+    body = hdrl + lst(b"movi", movi_data) + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+
+
+def avi_decode(payload: bytes) -> tuple[np.ndarray, float]:
+    """REAL AVI decode (pure ``struct`` + NumPy) for uncompressed
+    BI_RGB 24-bit DIB video: walks the RIFF chunk tree, reads frame
+    geometry from the BITMAPINFOHEADER, collects '00db'/'00dc' frame
+    chunks, and unpacks bottom-up stride-padded BGR rows. Returns
+    (frames uint8 (n, h, w, 3) RGB, fps). Compressed codecs (MP4,
+    H.264, MJPG, ...) raise NotImplementedError — no codec libraries
+    exist in this environment."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError("not a RIFF/AVI payload")
+    w = h = None
+    compression = None
+    scale, rate = 1, 10
+    frames_raw = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal w, h, compression, scale, rate
+        while pos + 8 <= end:
+            tag = buf[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            data0 = pos + 8
+            if tag == b"LIST":
+                walk(buf, data0 + 4, data0 + size)
+            elif tag == b"strh" and buf[data0:data0 + 4] == b"vids":
+                scale, rate = struct.unpack_from("<2I", buf, data0 + 20)
+            elif tag == b"strf" and w is None:
+                _, w, h, _, bits, compression = struct.unpack_from(
+                    "<I2i2HI", buf, data0)
+                if bits != 24 or compression != 0:
+                    raise NotImplementedError(
+                        f"only uncompressed 24-bit BI_RGB AVI is decodable "
+                        f"here (bits={bits}, compression={compression:#x}); "
+                        f"compressed codecs need external libraries")
+            elif tag in (b"00db", b"00dc"):
+                frames_raw.append(buf[data0:data0 + size])
+            pos = data0 + size + (size % 2)
+
+    walk(payload, 12, len(payload))
+    if w is None or not frames_raw:
+        raise NotImplementedError("no decodable 'vids' stream found")
+    bottom_up = h > 0          # negative biHeight = top-down DIB
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
+    for i, fb in enumerate(frames_raw):
+        if len(fb) < h * stride:
+            raise NotImplementedError(
+                f"frame {i} truncated ({len(fb)} < {h * stride})")
+        rows = np.frombuffer(fb, dtype=np.uint8,
+                             count=h * stride).reshape(h, stride)
+        if bottom_up:
+            rows = rows[::-1]
+        out[i] = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]
+    fps = rate / max(1, scale)
+    return out, fps
+
+
 def real_decoder(payload: bytes, kind: str) -> np.ndarray:
     """Production decode dispatch: REAL for PNG images and WAV audio
-    (stdlib codecs above); video falls back to :func:`stub_decoder`
-    (no stdlib MP4 decoder exists — loudly stubbed, swappable).
+    (stdlib codecs above) and uncompressed RIFF/AVI video; compressed
+    video falls back to :func:`stub_decoder` (no MP4/H.264 codec
+    exists in this environment — loudly stubbed, swappable).
 
     Features (all computed from actually-decoded samples/pixels):
     image -> [h, w, ch, mean, std] + 11-bin gray histogram (16 dims);
@@ -254,7 +363,20 @@ def real_decoder(payload: bytes, kind: str) -> np.ndarray:
         denom = max(1e-9, float(hist.max()))
         return np.concatenate([head, (hist / denom).astype(np.float32)])
     if kind == "video":
-        return stub_decoder(payload, kind)
+        # REAL decode for uncompressed RIFF/AVI (raw 24-bit DIB
+        # frames); compressed codecs (MP4/H.264/...) still have no
+        # decoder in this environment and fall back to the loud stub.
+        try:
+            fr, fps = avi_decode(payload)
+        except NotImplementedError:
+            return stub_decoder(payload, kind)
+        luma = fr.astype(np.float32).mean(axis=3)
+        hist, _ = np.histogram(luma, bins=10, range=(0, 256))
+        head = np.array([fr.shape[0], fr.shape[1], fr.shape[2],
+                         fr.shape[0] / max(1e-9, fps),
+                         float(luma.mean()), float(luma.std())], np.float32)
+        return np.concatenate(
+            [head, (hist / max(1, luma.size)).astype(np.float32)])
     raise NotImplementedError(f"no decoder for kind={kind!r}")
 
 
@@ -274,8 +396,8 @@ def synthetic_media_df(spark: SparkSession, n: int = 24,
                        seed: int = 42) -> DataFrame:
     """Deterministic media table with REAL payloads: valid PNGs
     (random small images, rotating scanline filters) and valid PCM16
-    WAVs (seeded sine + noise); video stays seeded opaque bytes (its
-    decode is the stubbed one). Metadata columns are truthful."""
+    WAVs (seeded sine + noise), and valid uncompressed AVIs (seeded
+    raw DIB frames). Metadata columns are truthful."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
@@ -298,12 +420,15 @@ def synthetic_media_df(spark: SparkSession, n: int = 24,
             rows.append((f"m{i:06d}", kind, "audio/wav", None, None,
                          int(dur * 1000), payload))
         else:
-            size = int(rng.integers(256, 2048))
-            payload = bytes(rng.integers(0, 256, size=size, dtype=np.uint8))
-            rows.append((f"m{i:06d}", kind, "video/mp4",
-                         int(rng.integers(32, 1024)),
-                         int(rng.integers(32, 1024)),
-                         int(rng.integers(1000, 60000)), payload))
+            # real uncompressed RIFF/AVI payload (raw DIB frames);
+            # odd widths exercise the 4-byte row-stride padding
+            nf = int(rng.integers(2, 6))
+            h, w = int(rng.integers(6, 16)), int(rng.integers(6, 17))
+            fps = int(rng.integers(5, 30))
+            fr = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+            payload = avi_encode(fr, fps=fps)
+            rows.append((f"m{i:06d}", kind, "video/x-msvideo", w, h,
+                         int(nf / fps * 1000), payload))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 

@@ -473,8 +473,8 @@ def test_wav_roundtrip():
 
 def test_real_decoder_features(spark):
     """End-to-end: REAL PNG/WAV decode inside the mapInPandas feature
-    extractor over a table with valid payloads; video goes through the
-    loudly-stubbed path."""
+    extractor over a table with valid payloads; video decodes REAL
+    uncompressed AVIs."""
     from kapra_spark.operators.multimodal import (extract_features,
                                                   real_decoder,
                                                   synthetic_media_df)
@@ -485,7 +485,7 @@ def test_real_decoder_features(spark):
     by_kind = out.groupby("kind")["feature"].first()
     assert len(by_kind["image"]) == 16
     assert len(by_kind["audio"]) == 16
-    assert len(by_kind["video"]) == 8  # stub histogram
+    assert len(by_kind["video"]) == 16  # real AVI decode
     # image feature head is [h, w, ch, mean, std] from real pixels
     img_feats = out[out["kind"] == "image"]["feature"]
     for f in img_feats:
@@ -496,6 +496,12 @@ def test_real_decoder_features(spark):
     for f in au:
         assert 0.05 <= f[0] <= 0.6
         assert 0.2 <= f[1] <= 0.5
+    # video head: [n_frames, h, w, dur_s, luma_mean, luma_std] from
+    # really-decoded DIB frames of uniform-random pixels
+    vid = out[out["kind"] == "video"]["feature"]
+    for f in vid:
+        assert 2 <= f[0] <= 5 and 6 <= f[1] <= 15 and 6 <= f[2] <= 16
+        assert 100 <= f[4] <= 155  # uniform [0,256) luma mean ~127.5
 
 
 def test_jaccard_ngram_join_exact_vs_python(spark, docs):
@@ -558,3 +564,34 @@ def test_ngram_tokens_unigram_and_short_docs(spark):
     out = {r.doc_id: sorted(r.toks)
            for r in ngram_tokens(docs, n=1).collect()}
     assert out == {1: ["hello", "world"]}  # empty-token docs dropped
+
+
+def test_avi_roundtrip_exact():
+    """avi_encode -> avi_decode is byte-exact for every frame,
+    including odd widths (4-byte row stride padding) and 1x1."""
+    from kapra_spark.operators.multimodal import avi_decode, avi_encode
+
+    rng = np.random.default_rng(3)
+    for n, h, w, fps in [(3, 8, 8, 10), (2, 5, 7, 25), (4, 11, 13, 6),
+                         (1, 1, 1, 1), (2, 16, 15, 30)]:
+        fr = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+        back, f2 = avi_decode(avi_encode(fr, fps=fps))
+        assert back.shape == fr.shape and (back == fr).all()
+        assert f2 == fps
+
+
+def test_avi_decode_rejects_compressed_and_garbage():
+    from kapra_spark.operators.multimodal import (avi_decode, avi_encode,
+                                                  real_decoder)
+
+    with pytest.raises(NotImplementedError):
+        avi_decode(b"\x00" * 64)                     # not RIFF
+    payload = bytearray(avi_encode(
+        np.zeros((1, 4, 4, 3), dtype=np.uint8), fps=5))
+    i = payload.index(b"strf") + 8 + 16              # biCompression field
+    payload[i:i + 4] = b"MJPG"
+    with pytest.raises(NotImplementedError):
+        avi_decode(bytes(payload))                   # compressed codec
+    # real_decoder falls back to the stub for undecodable video
+    feat = real_decoder(b"\x89mp4-ish-garbage" * 8, "video")
+    assert feat.shape == (8,)
