@@ -595,3 +595,29 @@ def test_avi_decode_rejects_compressed_and_garbage():
     # real_decoder falls back to the stub for undecodable video
     feat = real_decoder(b"\x89mp4-ish-garbage" * 8, "video")
     assert feat.shape == (8,)
+
+
+def test_decode_sampled_frames_real_pixels(spark):
+    """sample_frames plans the offsets; decode_sampled_frames decodes
+    the REAL nearest AVI frame per offset — stats match a direct
+    numpy decode of the same payloads."""
+    from kapra_spark.operators.multimodal import (avi_decode,
+                                                  decode_sampled_frames,
+                                                  sample_frames,
+                                                  synthetic_media_df)
+
+    media = synthetic_media_df(spark, n=24)
+    planned = sample_frames(media, every_ms=100)
+    got = decode_sampled_frames(planned).toPandas()
+    vids = media.filter("kind = 'video'").select(
+        "media_id", "payload", "duration_ms").toPandas()
+    assert len(got) == sum(d // 100 + 1 for d in vids["duration_ms"])
+    by_id = {m: avi_decode(bytes(p)) for m, p in
+             zip(vids["media_id"], vids["payload"])}
+    for r in got.itertuples():
+        frames, fps = by_id[r.media_id]
+        idx = min(len(frames) - 1, int(round(r.frame_ms / 1000.0 * fps)))
+        assert r.frame_idx == idx
+        luma = frames[idx].astype(np.float32).mean(axis=2)
+        assert abs(r.luma_mean - float(luma.mean())) < 1e-4
+        assert (r.height, r.width) == frames.shape[1:3]
