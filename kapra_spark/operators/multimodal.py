@@ -477,46 +477,48 @@ FRAME_SCHEMA = T.StructType([
 ])
 
 
-def decode_sampled_frames(sampled: DataFrame) -> DataFrame:
-    """REAL per-frame decode for the rows :func:`sample_frames`
-    planned: each (media_id, payload, frame_ms) row decodes its AVI
-    once per Arrow batch group and emits the nearest frame's geometry
-    and luma stats. Payloads that are not uncompressed AVI are
-    SKIPPED (they have no decodable pixels here; the loud stub path
-    covers them in :func:`extract_features`).
+def decode_sampled_frames(media_df: DataFrame,
+                          every_ms: int = 5000) -> DataFrame:
+    """REAL sampled-frame decode: one output row per ``every_ms``
+    offset per video, with the nearest frame's geometry and luma
+    stats from an actual AVI decode. Payloads that are not
+    uncompressed AVI are SKIPPED (no decodable pixels here; the loud
+    stub path covers them in :func:`extract_features`).
 
-    Scale shape: the explode in sample_frames already made frames the
-    unit of parallelism, so a 2-hour video's frames spread across
-    tasks with the payload carried alongside; within a batch the
-    per-media decode is memoized so co-located frames of the same
-    video decode its byte stream once."""
+    Scale shape: takes the MEDIA table directly (not the exploded
+    plan from :func:`sample_frames`) so each payload crosses the
+    Arrow boundary exactly ONCE — exploding first would duplicate
+    the video bytes into every frame row. The unit of parallelism is
+    therefore the media row; the frame fan-out happens inside the
+    batch, where the byte stream is decoded once and sliced per
+    offset. :func:`sample_frames` remains the metadata-only planner
+    for sinks that only need offsets."""
 
     def fn(batches):
         for pdf in batches:
-            cache: dict[str, tuple] = {}
             out = {k: [] for k in ("media_id", "frame_ms", "frame_idx",
                                    "height", "width", "luma_mean",
                                    "luma_std")}
-            for mid, payload, ms in zip(pdf["media_id"], pdf["payload"],
-                                        pdf["frame_ms"]):
-                if mid not in cache:
-                    try:
-                        cache[mid] = avi_decode(payload)
-                    except NotImplementedError:
-                        cache[mid] = None
-                dec = cache[mid]
-                if dec is None:
+            for mid, payload, dur in zip(pdf["media_id"], pdf["payload"],
+                                         pdf["duration_ms"]):
+                try:
+                    frames, fps = avi_decode(payload)
+                except NotImplementedError:
                     continue
-                frames, fps = dec
-                idx = min(len(frames) - 1, int(round(ms / 1000.0 * fps)))
-                luma = frames[idx].astype(np.float32).mean(axis=2)
-                out["media_id"].append(mid)
-                out["frame_ms"].append(int(ms))
-                out["frame_idx"].append(idx)
-                out["height"].append(frames.shape[1])
-                out["width"].append(frames.shape[2])
-                out["luma_mean"].append(float(luma.mean()))
-                out["luma_std"].append(float(luma.std()))
+                dur = 0 if dur is None or pd.isna(dur) else int(dur)
+                for ms in range(0, dur + 1, every_ms):
+                    idx = min(len(frames) - 1,
+                              int(round(ms / 1000.0 * fps)))
+                    luma = frames[idx].astype(np.float32).mean(axis=2)
+                    out["media_id"].append(mid)
+                    out["frame_ms"].append(ms)
+                    out["frame_idx"].append(idx)
+                    out["height"].append(frames.shape[1])
+                    out["width"].append(frames.shape[2])
+                    out["luma_mean"].append(float(luma.mean()))
+                    out["luma_std"].append(float(luma.std()))
             yield pd.DataFrame(out)
 
-    return sampled.mapInPandas(fn, FRAME_SCHEMA)
+    vids = media_df.filter(F.col("kind") == "video").select(
+        "media_id", "payload", "duration_ms")
+    return vids.mapInPandas(fn, FRAME_SCHEMA)

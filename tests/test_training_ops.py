@@ -603,12 +603,10 @@ def test_decode_sampled_frames_real_pixels(spark):
     numpy decode of the same payloads."""
     from kapra_spark.operators.multimodal import (avi_decode,
                                                   decode_sampled_frames,
-                                                  sample_frames,
                                                   synthetic_media_df)
 
     media = synthetic_media_df(spark, n=24)
-    planned = sample_frames(media, every_ms=100)
-    got = decode_sampled_frames(planned).toPandas()
+    got = decode_sampled_frames(media, every_ms=100).toPandas()
     vids = media.filter("kind = 'video'").select(
         "media_id", "payload", "duration_ms").toPandas()
     assert len(got) == sum(d // 100 + 1 for d in vids["duration_ms"])
