@@ -720,6 +720,53 @@ def q_streaming_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(mismatch.cast("long")).alias("n_mismatches"))
 
 
+def q_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-seen exact dedup vs batch min-id exact_dedup as
+    a driver-checkable constant. The two halves are split at the
+    SORTED doc_id midpoint, so within every hash group the first-seen
+    keeper IS the global min id and the contracts coincide exactly.
+    Returns (n_docs, n_dups, n_mismatches); the oracle computes
+    n_docs/n_dups from the same normalization in SQL and pins
+    n_mismatches = 0."""
+    import tempfile
+    import uuid
+
+    from kapra_spark.operators.dedup import exact_dedup
+    from kapra_spark.streaming.dedup_stream import stream_exact_dedup
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    # deterministic id-ordered split: low half first
+    lo = docs.orderBy("doc_id").limit(250)
+    hi = docs.join(lo.select("doc_id"), "doc_id", "left_anti")
+    src = tempfile.mkdtemp(prefix="ks_dedup_src_")
+    lo.coalesce(1).write.mode("overwrite").parquet(src)
+    hi.coalesce(1).write.mode("append").parquet(src)
+
+    sink = f"dedup_sink_{uuid.uuid4().hex[:8]}"
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream_exact_dedup(stream)
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.table(sink).select(
+        "doc_id", F.col("keeper_id").alias("s_keeper"),
+        F.col("is_duplicate").alias("s_dup"))
+    batch = exact_dedup(docs).select(
+        "doc_id", F.col("keeper_id").alias("b_keeper"),
+        F.col("is_duplicate").alias("b_dup"))
+    j = got.join(batch, "doc_id", "full_outer")
+    mism = (F.col("s_keeper").isNull() | F.col("b_keeper").isNull()
+            | (F.col("s_keeper") != F.col("b_keeper"))
+            | (F.col("s_dup") != F.col("b_dup")))
+    return j.agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("b_dup").cast("long")).alias("n_dups"),
+                 F.sum(mism.cast("long")).alias("n_mismatches"))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + feature extraction with the REAL stdlib
     codecs (PNG chunk/zlib/unfilter decode, WAV PCM16 decode) over a
@@ -1026,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         # streaming + lineage certificates (self-verifying constants)
         "streaming_rollup_parity": q_streaming_rollup_parity,
+        "streaming_dedup_parity": q_streaming_dedup_parity,
         "lineage_resume": q_lineage_resume,
         "csv_roundtrip": q_csv_roundtrip,
         "tree_dist_parity": q_tree_dist_parity,
@@ -1462,6 +1510,13 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": "SELECT * FROM (VALUES "
         + ", ".join(f"('{a}', '{b}', {h})" for a, b, h in _SIMHASH_PLANTED)
         + ") AS t(id_a, id_b, hamming)",
+        "streaming_dedup_parity": """
+            SELECT count(*) AS n_docs,
+                   count(*) - count(DISTINCT trim(regexp_replace(
+                       lower(text), '\\s+', ' ', 'g'))) AS n_dups,
+                   CAST(0 AS BIGINT) AS n_mismatches
+            FROM documents
+        """,
         "streaming_rollup_parity": """
             SELECT count(*) AS n_buckets,
                    CAST(0 AS BIGINT) AS n_mismatches

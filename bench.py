@@ -218,6 +218,21 @@ def main() -> None:
             png_decode(p)
         n_dec += len(pngs)
     extras["png_decode_mbps"] = round(n_dec * raw_mb / (time.time() - t0), 1)
+
+    # AVI raw-DIB decode throughput — 12 frames of 128x127 RGB (odd
+    # width exercises the stride-padded path), decoded for ~0.4 s
+    from kapra_spark.operators.multimodal import avi_decode, avi_encode
+
+    fr = (np.arange(12 * 128 * 127 * 3, dtype=np.int64) * 2654435761
+          % 256).astype(np.uint8).reshape(12, 128, 127, 3)
+    avi = avi_encode(fr, fps=24)
+    raw_mb = fr.nbytes / 1e6
+    n_dec, t_end = 0, time.time() + 0.4
+    t0 = time.time()
+    while time.time() < t_end:
+        avi_decode(avi)
+        n_dec += 1
+    extras["avi_decode_mbps"] = round(n_dec * raw_mb / (time.time() - t0), 1)
     extras["points_per_sec_fast"] = round(
         total_points / timings["tokens_cascade_fast"], 1)
     extras["points_per_sec_longform"] = round(

@@ -68,3 +68,39 @@ def test_stream_locf_state_across_batches(spark, tmp_path):
     assert rows[("a", 3)] == (7.0, False)
     assert ("b", 0) not in rows             # leading gap: nothing to carry
     assert rows[("b", 1)] == (2.0, False)
+
+
+def test_stream_exact_dedup_parity_and_state(spark, tmp_path):
+    """Streaming first-seen dedup == batch exact_dedup when ids arrive
+    in id order (batch 1 = low ids), and a batch-2 duplicate of a
+    batch-1 doc resolves to the batch-1 keeper via carried state."""
+    from kapra_spark.operators.dedup import exact_dedup
+    from kapra_spark.streaming.dedup_stream import stream_exact_dedup
+
+    src = str(tmp_path / "dedup_src")
+    schema = "doc_id string, text string"
+    b1 = [("a1", "The cat sat."), ("a2", "the  cat sat. "),
+          ("a3", "dogs bark"), ("a4", "unique one")]
+    b2 = [("b1", "THE CAT SAT."), ("b2", "dogs bark"),
+          ("b3", "fresh text"), ("b4", "fresh text")]
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    out = stream_exact_dedup(stream)
+    q = (out.writeStream.format("memory").queryName("dedup_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    _await(q)
+    got = {r["doc_id"]: (r["keeper_id"], r["is_duplicate"])
+           for r in spark.sql("select * from dedup_sink").collect()}
+
+    batch = spark.createDataFrame(b1 + b2, schema)
+    expect = {r["doc_id"]: (r["keeper_id"], r["is_duplicate"])
+              for r in exact_dedup(batch).collect()}
+    assert got == expect  # first-seen == min-id here by construction
+    assert got["b1"] == ("a1", True)    # cross-batch state carried
+    assert got["b4"] == ("b3", True)    # within-batch min-id keeper
+    assert got["a1"] == ("a1", False)
