@@ -185,14 +185,20 @@ def rows_matrix(flat: np.ndarray, offsets: np.ndarray, idx: np.ndarray,
     """Gather rows ``idx`` (each ``nt`` long) from a ListArray's flat
     values into an int64 (len(idx), nt) matrix. When the selected rows
     are contiguous and uniformly strided (the common one-n_tok-per-
-    batch case) this is a zero-copy reshape + one astype pass instead
-    of a fancy-index gather (~7x less memory traffic)."""
+    batch case) this is a zero-copy reshape — a VIEW of the Arrow
+    buffer when the values are already int64 — instead of a
+    fancy-index gather (~7x less memory traffic, now zero)."""
     starts = offsets[idx]
     if len(starts) > 0 and np.all(np.diff(starts) == nt):
         base = int(starts[0])
+        # copy=False: when the ListArray's flat values are already
+        # int64 (the tokens schema) this is a true zero-copy VIEW of
+        # the Arrow buffer — downstream consumers (_locf_2d,
+        # encode_batch) only read, never mutate
         return flat[base:base + len(starts) * nt].reshape(
-            len(starts), nt).astype(np.int64)
-    return flat[starts[:, None] + np.arange(nt)[None, :]].astype(np.int64)
+            len(starts), nt).astype(np.int64, copy=False)
+    return flat[starts[:, None] + np.arange(nt)[None, :]].astype(
+        np.int64, copy=False)
 
 
 def _locf_2d(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
