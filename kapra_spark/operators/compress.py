@@ -219,14 +219,14 @@ def compress_and_cascade(tokens_df: DataFrame,
                         _nulls(pa.int64(), m), _nulls(pa.int32(), m),
                         _nulls(pa.binary(), m),
                         pa.array([tier] * m),
-                        pa.array(EPOCH_SECONDS + bb.astype(np.int64) * mins * 60),
-                        pa.array(cnt[rr, bb].astype(np.int64)),
-                        pa.array(sm[rr, bb].astype(np.int64)),
-                        pa.array(mn[rr, bb].astype(np.int64)),
-                        pa.array(mx[rr, bb].astype(np.int64)),
-                        pa.array(first[rr, bb].astype(np.int64)),
-                        pa.array(last[rr, bb].astype(np.int64)),
-                        pa.array(nfil[rr, bb].astype(np.int64)),
+                        pa.array(EPOCH_SECONDS + bb.astype(np.int64, copy=False) * mins * 60),
+                        pa.array(cnt[rr, bb].astype(np.int64, copy=False)),
+                        pa.array(sm[rr, bb].astype(np.int64, copy=False)),
+                        pa.array(mn[rr, bb].astype(np.int64, copy=False)),
+                        pa.array(mx[rr, bb].astype(np.int64, copy=False)),
+                        pa.array(first[rr, bb].astype(np.int64, copy=False)),
+                        pa.array(last[rr, bb].astype(np.int64, copy=False)),
+                        pa.array(nfil[rr, bb].astype(np.int64, copy=False)),
                     ], schema=fused_arrow)
 
     return tokens_df.mapInArrow(fn, FUSED_SCHEMA)

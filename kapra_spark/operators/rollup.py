@@ -310,14 +310,14 @@ def cascade_fast(tokens_df: DataFrame,
                         tier_col,
                         c_src.take(take),
                         c_doc.take(take),
-                        pa.array(EPOCH_SECONDS + bb.astype(np.int64) * mins * 60),
-                        pa.array(cnt[rr, bb].astype(np.int64)),
-                        pa.array(s[rr, bb].astype(np.int64)),
-                        pa.array(mn[rr, bb].astype(np.int64)),
-                        pa.array(mx[rr, bb].astype(np.int64)),
-                        pa.array(first[rr, bb].astype(np.int64)),
-                        pa.array(last[rr, bb].astype(np.int64)),
-                        pa.array(nfil[rr, bb].astype(np.int64)),
+                        pa.array(EPOCH_SECONDS + bb.astype(np.int64, copy=False) * mins * 60),
+                        pa.array(cnt[rr, bb].astype(np.int64, copy=False)),
+                        pa.array(s[rr, bb].astype(np.int64, copy=False)),
+                        pa.array(mn[rr, bb].astype(np.int64, copy=False)),
+                        pa.array(mx[rr, bb].astype(np.int64, copy=False)),
+                        pa.array(first[rr, bb].astype(np.int64, copy=False)),
+                        pa.array(last[rr, bb].astype(np.int64, copy=False)),
+                        pa.array(nfil[rr, bb].astype(np.int64, copy=False)),
                     ], schema=arrow_schema)
 
     return tokens_df.mapInArrow(run, _FAST_SCHEMA)
