@@ -144,9 +144,23 @@ def trial(cpus: int, tokens_path: str, reps: int = REPS
     R.cascade(warm)["1d"].count()
     warm.unpersist()
 
+    # clean-sample harvesting (SCALING_MIN_BSI, Mpts/s — same unit
+    # as the report's bsi column, clean phase ~2.8; 0 = off): the
+    # VM's phases oscillate on a sub-minute scale, so a rep whose
+    # pre-trial probe reads degraded would only waste minutes producing
+    # a wall the min-statistic discards anyway. Skip it (short sleep),
+    # up to 3x the requested reps in total attempts, so mixed phases
+    # still yield the requested number of phase-vetted samples.
+    min_bsi = float(os.environ.get("SCALING_MIN_BSI", "0"))
     prods, longs, fuseds, bsis = [], [], [], []
-    for _ in range(reps):
-        bsis.append(box_speed_index())
+    attempts, max_attempts = 0, reps * 3
+    while len(bsis) < reps and attempts < max_attempts:
+        attempts += 1
+        probe = box_speed_index()
+        if min_bsi > 0 and probe < min_bsi and attempts < max_attempts:
+            time.sleep(20)
+            continue
+        bsis.append(probe)
         if "prod" in PATHS:
             t0 = time.time()
             compress_tokens(tokens).agg(F.sum(F.length("payload"))).collect()
