@@ -290,19 +290,22 @@ def avi_decode(payload: bytes) -> tuple[np.ndarray, float]:
     w = h = None
     compression = None
     scale, rate = 1, 10
-    frames_raw = []
+    in_vids = False          # strf applies to the LAST-SEEN strh's
+    frames_raw = []          # stream type (audio strf = WAVEFORMATEX)
 
     def walk(buf: bytes, pos: int, end: int) -> None:
-        nonlocal w, h, compression, scale, rate
+        nonlocal w, h, compression, scale, rate, in_vids
         while pos + 8 <= end:
             tag = buf[pos:pos + 4]
             (size,) = struct.unpack_from("<I", buf, pos + 4)
             data0 = pos + 8
             if tag == b"LIST":
                 walk(buf, data0 + 4, data0 + size)
-            elif tag == b"strh" and buf[data0:data0 + 4] == b"vids":
-                scale, rate = struct.unpack_from("<2I", buf, data0 + 20)
-            elif tag == b"strf" and w is None:
+            elif tag == b"strh":
+                in_vids = buf[data0:data0 + 4] == b"vids"
+                if in_vids:
+                    scale, rate = struct.unpack_from("<2I", buf, data0 + 20)
+            elif tag == b"strf" and in_vids and w is None:
                 _, w, h, _, bits, compression = struct.unpack_from(
                     "<I2i2HI", buf, data0)
                 if bits != 24 or compression != 0:

@@ -619,3 +619,29 @@ def test_decode_sampled_frames_real_pixels(spark):
         luma = frames[idx].astype(np.float32).mean(axis=2)
         assert abs(r.luma_mean - float(luma.mean())) < 1e-4
         assert (r.height, r.width) == frames.shape[1:3]
+
+
+def test_avi_decode_ignores_audio_stream_header():
+    """An 'auds' strl appearing before the video stream must not have
+    its strf (WAVEFORMATEX) parsed as the bitmap header."""
+    import struct
+
+    from kapra_spark.operators.multimodal import avi_decode, avi_encode
+
+    fr = np.arange(2 * 4 * 5 * 3, dtype=np.uint8).reshape(2, 4, 5, 3)
+    payload = avi_encode(fr, fps=12)
+
+    def chunk(tag, data):
+        return tag + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) % 2 else b"")
+
+    def lst(t, d):
+        return chunk(b"LIST", t + d)
+
+    auds = lst(b"strl", chunk(b"strh", b"auds" + b"\x00" * 48)
+               + chunk(b"strf", struct.pack("<2H2I2H", 1, 1, 8000,
+                                            16000, 2, 16)))
+    body = lst(b"hdrl", auds) + payload[12:]
+    full = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+    back, fps = avi_decode(full)
+    assert (back == fr).all() and fps == 12
