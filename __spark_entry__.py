@@ -787,6 +787,27 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _digest(flat, ["media_id", "kind", "n_bytes", "feat_s"])
 
 
+def q_media_features_mjpg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode with MOTION-JPEG video streams: the same
+    deterministic media table but every AVI payload carries per-frame
+    baseline JPEGs (from-scratch ITU-T T.81 codec, functions/jpeg.py,
+    OpenDML implied-DHT convention) instead of raw DIB frames.
+    Digest-pinned (rows-only): codec exactness is carried by the
+    round-trip pytests in test_jpeg.py."""
+    from kapra_spark.operators.multimodal import (extract_features,
+                                                  real_decoder,
+                                                  synthetic_media_df)
+
+    media = synthetic_media_df(spark, n=24, video_codec="MJPG")
+    out = extract_features(media, decoder=real_decoder)
+    flat = out.select(
+        "media_id", "kind", "n_bytes",
+        F.transform("feature",
+                    lambda x: F.round(x.cast("double"), 4))
+        .cast("string").alias("feat_s"))
+    return _digest(flat, ["media_id", "kind", "n_bytes", "feat_s"])
+
+
 def q_tree_dist_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3(ii) distributed create-tree as a driver-checkable constant:
     build the pattern tree with the BFS driver-loop operator AND the
@@ -1081,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kp_dist_sharded": q_kp_dist_sharded,
         "tree_dist_mid": q_tree_dist_mid,
         "media_features": q_media_features,
+        "media_features_mjpg": q_media_features_mjpg,
         # non-SQL-expressible (rows-only driver check + pytest goldens)
         "kp_anonymize_kapra": q_kp_anonymize_kapra,
         "kp_anonymize_naive": q_kp_anonymize_naive,
@@ -1394,6 +1416,10 @@ def oracle_sql() -> dict[str, str]:
         "media_features": """
             SELECT CAST(24 AS BIGINT) AS n_rows,
                    '3528612fac1151c3a8066a19a521f29a' AS digest
+        """,
+        "media_features_mjpg": """
+            SELECT CAST(24 AS BIGINT) AS n_rows,
+                   'd026a36db1a9ad8b65a80e2266d4ef4a' AS digest
         """,
         "tree_dist_parity": """
             SELECT CAST(300 AS BIGINT) AS n_rows,

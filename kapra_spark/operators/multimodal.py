@@ -8,12 +8,15 @@ Decoders (round-3 state):
   8-bit gray/RGB/RGBA. No external codec needed.
 - **WAV audio — REAL decode** via the stdlib ``wave`` module
   (PCM16 -> float32 mono waveform).
-- **video — REAL decode for uncompressed RIFF/AVI** (raw 24-bit
-  BI_RGB DIB frames, pure ``struct`` + NumPy chunk walking: the
-  AVI/RIFF container and BITMAPINFOHEADER layouts are public spec).
-  Compressed codecs (MP4/H.264/MJPG) still raise — no codec libs in
-  this container — and fall back to the loudly-marked stub. The
-  frame-sampling planner and all Spark plumbing are real either way.
+- **video — REAL decode for RIFF/AVI**: uncompressed raw 24-bit
+  BI_RGB DIB frames (pure ``struct`` + NumPy chunk walking) AND
+  motion-JPEG streams (per-frame baseline JPEG via the from-scratch
+  ITU-T T.81 codec in ``functions/jpeg.py``, incl. the OpenDML
+  missing-DHT convention). The AVI/RIFF container and
+  BITMAPINFOHEADER layouts are public spec. Other codecs
+  (MP4/H.264/...) still raise — no codec libs in this container —
+  and fall back to the loudly-marked stub. The frame-sampling
+  planner and all Spark plumbing are real either way.
 
 All the Spark-side machinery is real and tested either way: schema,
 partition-friendly layout, Arrow batch shapes, UDF signatures, frame
@@ -229,15 +232,23 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
     return x.astype(np.float32), rate
 
 
-def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
-    """Uncompressed RIFF/AVI writer (pure ``struct``): one 'vids'
-    stream of raw BI_RGB 24-bit DIB frames ('00db' chunks, bottom-up
-    BGR rows padded to 4-byte stride) + an idx1 index. The AVI/RIFF
-    container and BITMAPINFOHEADER layouts are the public Microsoft/
-    OpenDML spec. ``frames`` is uint8 shaped (n, h, w, 3) RGB."""
+def avi_encode(frames: np.ndarray, fps: int = 10, codec: str = "DIB",
+               quality: int = 85) -> bytes:
+    """RIFF/AVI writer (pure ``struct``): one 'vids' stream + an idx1
+    index. The AVI/RIFF container and BITMAPINFOHEADER layouts are the
+    public Microsoft/OpenDML spec. ``frames`` is uint8 (n, h, w, 3) RGB.
+
+    ``codec="DIB"`` writes raw BI_RGB 24-bit DIB frames ('00db'
+    chunks, bottom-up BGR rows padded to 4-byte stride).
+    ``codec="MJPG"`` writes one baseline JPEG per frame ('00dc'
+    chunks, :func:`kapra_spark.functions.jpeg.jpeg_encode`, 4:2:0,
+    DHT segments OMITTED per the OpenDML motion-JPEG convention —
+    decoders must assume the ITU-T T.81 Annex-K tables)."""
     fr = np.asarray(frames, dtype=np.uint8)
     if fr.ndim != 4 or fr.shape[3] != 3:
         raise ValueError(f"frames must be (n, h, w, 3) uint8, got {fr.shape}")
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError(f"codec must be 'DIB' or 'MJPG', got {codec!r}")
     n, h, w, _ = fr.shape
     stride = (w * 3 + 3) // 4 * 4
     row_pad = stride - w * 3
@@ -250,41 +261,60 @@ def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
         return chunk(b"LIST", list_type + data)
 
     frame_bytes = []
-    for i in range(n):
-        # bottom-up rows, BGR channel order, stride-padded
-        bgr = fr[i, ::-1, :, ::-1]
-        if row_pad:
-            rows = np.zeros((h, stride), dtype=np.uint8)
-            rows[:, :w * 3] = bgr.reshape(h, w * 3)
-            frame_bytes.append(rows.tobytes())
-        else:
-            frame_bytes.append(bgr.tobytes())
-    fsize = h * stride
+    if codec == "MJPG":
+        from kapra_spark.functions.jpeg import jpeg_encode
+        for i in range(n):
+            frame_bytes.append(jpeg_encode(
+                fr[i], quality=quality, subsample="420",
+                include_dht=False))
+    else:
+        for i in range(n):
+            # bottom-up rows, BGR channel order, stride-padded
+            bgr = fr[i, ::-1, :, ::-1]
+            if row_pad:
+                rows = np.zeros((h, stride), dtype=np.uint8)
+                rows[:, :w * 3] = bgr.reshape(h, w * 3)
+                frame_bytes.append(rows.tobytes())
+            else:
+                frame_bytes.append(bgr.tobytes())
+    mjpg = codec == "MJPG"
+    fsize = max(len(fb) for fb in frame_bytes) if mjpg else h * stride
+    compression = struct.unpack("<I", b"MJPG")[0] if mjpg else 0
+    fourcc = b"MJPG" if mjpg else b"DIB "
+    frame_tag = b"00dc" if mjpg else b"00db"
     avih = struct.pack("<14I", 1_000_000 // fps, fsize * fps, 0, 0x10,
                        n, 0, 1, fsize, w, h, 0, 0, 0, 0)
-    strh = (b"vids" + b"DIB " + struct.pack("<I2HI", 0, 0, 0, 0)
+    strh = (b"vids" + fourcc + struct.pack("<I2HI", 0, 0, 0, 0)
             + struct.pack("<6I", 1, fps, 0, n, fsize, 0xFFFFFFFF)
             + struct.pack("<I4H", 0, 0, 0, w, h))
-    strf = struct.pack("<I2i2H6I", 40, w, h, 1, 24, 0, fsize, 0, 0, 0, 0)
+    strf = struct.pack("<I2i2HI5I", 40, w, h, 1, 24, compression,
+                       fsize, 0, 0, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     movi_data, idx, off = b"", b"", 4
     for fb in frame_bytes:
-        movi_data += chunk(b"00db", fb)
-        idx += b"00db" + struct.pack("<3I", 0x10, off, len(fb))
+        movi_data += chunk(frame_tag, fb)
+        idx += frame_tag + struct.pack("<3I", 0x10, off, len(fb))
         off += 8 + len(fb) + (len(fb) % 2)
     body = hdrl + lst(b"movi", movi_data) + chunk(b"idx1", idx)
     return b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
 
 
+_MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
+
+
 def avi_decode(payload: bytes) -> tuple[np.ndarray, float]:
     """REAL AVI decode (pure ``struct`` + NumPy) for uncompressed
-    BI_RGB 24-bit DIB video: walks the RIFF chunk tree, reads frame
-    geometry from the BITMAPINFOHEADER, collects '00db'/'00dc' frame
-    chunks, and unpacks bottom-up stride-padded BGR rows. Returns
-    (frames uint8 (n, h, w, 3) RGB, fps). Compressed codecs (MP4,
-    H.264, MJPG, ...) raise NotImplementedError — no codec libraries
-    exist in this environment."""
+    BI_RGB 24-bit DIB video AND motion-JPEG (biCompression='MJPG'):
+    walks the RIFF chunk tree, reads frame geometry from the
+    BITMAPINFOHEADER, collects '00db'/'00dc' frame chunks, and either
+    unpacks bottom-up stride-padded BGR rows (DIB) or decodes each
+    frame as a baseline JPEG via
+    :func:`kapra_spark.functions.jpeg.jpeg_decode` (MJPG — incl. the
+    OpenDML missing-DHT convention). Returns (frames uint8
+    (n, h, w, 3) RGB, fps). Other codecs (MP4/H.264, ...) raise
+    NotImplementedError — no codec libraries exist in this
+    environment."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise NotImplementedError("not a RIFF/AVI payload")
     w = h = None
@@ -308,11 +338,13 @@ def avi_decode(payload: bytes) -> tuple[np.ndarray, float]:
             elif tag == b"strf" and in_vids and w is None:
                 _, w, h, _, bits, compression = struct.unpack_from(
                     "<I2i2HI", buf, data0)
-                if bits != 24 or compression != 0:
+                if compression not in (0, _MJPG_FOURCC) or (
+                        compression == 0 and bits != 24):
                     raise NotImplementedError(
-                        f"only uncompressed 24-bit BI_RGB AVI is decodable "
-                        f"here (bits={bits}, compression={compression:#x}); "
-                        f"compressed codecs need external libraries")
+                        f"only uncompressed 24-bit BI_RGB and MJPG AVI are "
+                        f"decodable here (bits={bits}, "
+                        f"compression={compression:#x}); other codecs need "
+                        f"external libraries")
             elif tag in (b"00db", b"00dc"):
                 frames_raw.append(buf[data0:data0 + size])
             pos = data0 + size + (size % 2)
@@ -320,6 +352,20 @@ def avi_decode(payload: bytes) -> tuple[np.ndarray, float]:
     walk(payload, 12, len(payload))
     if w is None or not frames_raw:
         raise NotImplementedError("no decodable 'vids' stream found")
+    fps = rate / max(1, scale)
+    if compression == _MJPG_FOURCC:
+        from kapra_spark.functions.jpeg import jpeg_decode
+        decoded = []
+        for i, fb in enumerate(frames_raw):
+            img = jpeg_decode(bytes(fb))
+            if img.ndim == 2:                  # grayscale MJPG frame
+                img = np.repeat(img[:, :, None], 3, axis=2)
+            if img.shape[0] != abs(h) or img.shape[1] != w:
+                raise NotImplementedError(
+                    f"MJPG frame {i} geometry {img.shape[:2]} does not "
+                    f"match BITMAPINFOHEADER ({abs(h)}, {w})")
+            decoded.append(img)
+        return np.stack(decoded), fps
     bottom_up = h > 0          # negative biHeight = top-down DIB
     h = abs(h)
     stride = (w * 3 + 3) // 4 * 4
@@ -338,10 +384,11 @@ def avi_decode(payload: bytes) -> tuple[np.ndarray, float]:
 
 
 def real_decoder(payload: bytes, kind: str) -> np.ndarray:
-    """Production decode dispatch: REAL for PNG images and WAV audio
-    (stdlib codecs above) and uncompressed RIFF/AVI video; compressed
-    video falls back to :func:`stub_decoder` (no MP4/H.264 codec
-    exists in this environment — loudly stubbed, swappable).
+    """Production decode dispatch: REAL for PNG images, WAV audio
+    (stdlib codecs above), and RIFF/AVI video (raw DIB or MJPG);
+    other video codecs fall back to :func:`stub_decoder` (no
+    MP4/H.264 codec exists in this environment — loudly stubbed,
+    swappable).
 
     Features (all computed from actually-decoded samples/pixels):
     image -> [h, w, ch, mean, std] + 11-bin gray histogram (16 dims);
@@ -366,9 +413,9 @@ def real_decoder(payload: bytes, kind: str) -> np.ndarray:
         denom = max(1e-9, float(hist.max()))
         return np.concatenate([head, (hist / denom).astype(np.float32)])
     if kind == "video":
-        # REAL decode for uncompressed RIFF/AVI (raw 24-bit DIB
-        # frames); compressed codecs (MP4/H.264/...) still have no
-        # decoder in this environment and fall back to the loud stub.
+        # REAL decode for RIFF/AVI (raw 24-bit DIB frames or MJPG);
+        # other codecs (MP4/H.264/...) still have no decoder in this
+        # environment and fall back to the loud stub.
         try:
             fr, fps = avi_decode(payload)
         except NotImplementedError:
@@ -396,11 +443,13 @@ def stub_decoder(payload: bytes, kind: str) -> np.ndarray:
 
 
 def synthetic_media_df(spark: SparkSession, n: int = 24,
-                       seed: int = 42) -> DataFrame:
+                       seed: int = 42,
+                       video_codec: str = "DIB") -> DataFrame:
     """Deterministic media table with REAL payloads: valid PNGs
     (random small images, rotating scanline filters) and valid PCM16
-    WAVs (seeded sine + noise), and valid uncompressed AVIs (seeded
-    raw DIB frames). Metadata columns are truthful."""
+    WAVs (seeded sine + noise), and valid AVIs (seeded frames;
+    ``video_codec`` picks raw "DIB" or motion-JPEG "MJPG" streams).
+    Metadata columns are truthful."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
@@ -429,7 +478,7 @@ def synthetic_media_df(spark: SparkSession, n: int = 24,
             h, w = int(rng.integers(6, 16)), int(rng.integers(6, 17))
             fps = int(rng.integers(5, 30))
             fr = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
-            payload = avi_encode(fr, fps=fps)
+            payload = avi_encode(fr, fps=fps, codec=video_codec)
             rows.append((f"m{i:06d}", kind, "video/x-msvideo", w, h,
                          int(nf / fps * 1000), payload))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
@@ -484,9 +533,10 @@ def decode_sampled_frames(media_df: DataFrame,
                           every_ms: int = 5000) -> DataFrame:
     """REAL sampled-frame decode: one output row per ``every_ms``
     offset per video, with the nearest frame's geometry and luma
-    stats from an actual AVI decode. Payloads that are not
-    uncompressed AVI are SKIPPED (no decodable pixels here; the loud
-    stub path covers them in :func:`extract_features`).
+    stats from an actual AVI decode (raw DIB or MJPG streams).
+    Payloads that are not decodable AVI are SKIPPED (no decodable
+    pixels here; the loud stub path covers them in
+    :func:`extract_features`).
 
     Scale shape: takes the MEDIA table directly (not the exploded
     plan from :func:`sample_frames`) so each payload crosses the
