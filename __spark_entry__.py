@@ -767,6 +767,62 @@ def q_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(mism.cast("long")).alias("n_mismatches"))
 
 
+def q_streaming_neardup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-seen MinHash near-dup vs batch minhash_dedup as
+    a driver-checkable constant. Corpus = 150 real documents (sorted
+    doc_id) + exact copies of the first 30 + one-word-appended near
+    copies of the next 20, copy ids prefixed 'zz' so they sort (and
+    stream) AFTER every original; batch 1 = originals, batch 2 =
+    copies, so first-seen == min-id and the engines must agree
+    row-for-row. Returns (n_docs, n_dups, n_mismatches); the oracle
+    pins all three: 51 dups (the 50 constructed + one genuine near-dup
+    pair inside the real 150) and 0 mismatches."""
+    import tempfile
+    import uuid
+
+    from kapra_spark.operators.dedup import minhash_dedup
+    from kapra_spark.streaming.neardup_stream import (
+        band_verdicts_to_docs, stream_minhash_neardup)
+
+    docs = (_read(spark, sf_dir, "documents")
+            .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+            .orderBy("doc_id").limit(150))
+    exact = (docs.orderBy("doc_id").limit(30)
+             .select(F.concat(F.lit("zze_"), "doc_id").alias("doc_id"),
+                     "text"))
+    near = (docs.orderBy("doc_id").limit(50)
+            .exceptAll(docs.orderBy("doc_id").limit(30))
+            .select(F.concat(F.lit("zzn_"), "doc_id").alias("doc_id"),
+                    F.concat("text", F.lit(" appended")).alias("text")))
+    src = tempfile.mkdtemp(prefix="ks_nd_src_")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    exact.unionAll(near).coalesce(1).write.mode("append").parquet(src)
+
+    sink = f"nd_sink_{uuid.uuid4().hex[:8]}"
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream_minhash_neardup(stream)
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+
+    got = band_verdicts_to_docs(spark.table(sink)).select(
+        "doc_id", F.col("keeper_id").alias("s_keeper"),
+        F.col("is_duplicate").alias("s_dup"))
+    corpus = docs.unionAll(exact).unionAll(near)
+    batch = minhash_dedup(corpus).select(
+        "doc_id", F.col("keeper_id").alias("b_keeper"),
+        (F.col("doc_id") != F.col("keeper_id")).alias("b_dup"))
+    j = got.join(batch, "doc_id", "full_outer")
+    mism = (F.col("s_keeper").isNull() | F.col("b_keeper").isNull()
+            | (F.col("s_keeper") != F.col("b_keeper"))
+            | (F.col("s_dup") != F.col("b_dup")))
+    return j.agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("b_dup").cast("long")).alias("n_dups"),
+                 F.sum(mism.cast("long")).alias("n_mismatches"))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + feature extraction with the REAL stdlib
     codecs (PNG chunk/zlib/unfilter decode, WAV PCM16 decode) over a
@@ -1095,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming + lineage certificates (self-verifying constants)
         "streaming_rollup_parity": q_streaming_rollup_parity,
         "streaming_dedup_parity": q_streaming_dedup_parity,
+        "streaming_neardup_parity": q_streaming_neardup_parity,
         "lineage_resume": q_lineage_resume,
         "csv_roundtrip": q_csv_roundtrip,
         "tree_dist_parity": q_tree_dist_parity,
@@ -1542,6 +1599,11 @@ def oracle_sql() -> dict[str, str]:
                        lower(text), '\\s+', ' ', 'g'))) AS n_dups,
                    CAST(0 AS BIGINT) AS n_mismatches
             FROM documents
+        """,
+        "streaming_neardup_parity": """
+            SELECT CAST(200 AS BIGINT) AS n_docs,
+                   CAST(51 AS BIGINT) AS n_dups,
+                   CAST(0 AS BIGINT) AS n_mismatches
         """,
         "streaming_rollup_parity": """
             SELECT count(*) AS n_buckets,

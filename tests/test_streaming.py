@@ -104,3 +104,48 @@ def test_stream_exact_dedup_parity_and_state(spark, tmp_path):
     assert got["b1"] == ("a1", True)    # cross-batch state carried
     assert got["b4"] == ("b3", True)    # within-batch min-id keeper
     assert got["a1"] == ("a1", False)
+
+
+def test_stream_minhash_neardup_parity_and_state(spark, tmp_path):
+    """Streaming first-seen MinHash near-dup == batch minhash_dedup on
+    id-ordered micro-batches (exact-copy groups + one clear near-copy
+    pair + distinct docs), and a batch-2 near-dup of a batch-1 doc
+    resolves to the batch-1 keeper via carried bucket state."""
+    from kapra_spark.operators.dedup import minhash_dedup
+    from kapra_spark.streaming.neardup_stream import (
+        band_verdicts_to_docs, stream_minhash_neardup)
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away across the wide green meadow tonight")
+    b1 = [("a1", base), ("a2", base),                 # exact copies
+          ("a3", base.replace("tonight", "tonite")),  # near copy of a1
+          ("a4", "completely different text about spark shuffles and "
+                 "partition pruning at terabyte scale in the engine")]
+    b2 = [("b1", base),                               # near-dup, batch 2
+          ("b2", "yet another unrelated document with its own words "
+                 "nothing shared with any of the previous documents")]
+    schema = "doc_id string, text string"
+    src = str(tmp_path / "nd_src")
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    out = stream_minhash_neardup(stream)
+    q = (out.writeStream.format("memory").queryName("nd_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    _await(q)
+    docs = band_verdicts_to_docs(spark.table("nd_sink"))
+    got = {r["doc_id"]: (r["keeper_id"], r["is_duplicate"])
+           for r in docs.collect()}
+
+    batch = spark.createDataFrame(b1 + b2, schema)
+    expect = {r["doc_id"]: (r["keeper_id"], r["doc_id"] != r["keeper_id"])
+              for r in minhash_dedup(batch).collect()}
+    assert got == expect
+    assert got["a2"] == ("a1", True)   # exact copy, within batch 1
+    assert got["a3"] == ("a1", True)   # near copy passes the estimator
+    assert got["b1"] == ("a1", True)   # cross-batch bucket state
+    assert got["a4"][1] is False and got["b2"][1] is False
