@@ -767,6 +767,39 @@ def q_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(mism.cast("long")).alias("n_mismatches"))
 
 
+def q_profile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus profiling with Spark's built-in MERGEABLE
+    sketches — the 100 TB shape: HyperLogLog++ distinct counts and a
+    quantile sketch over events.value, computed map-side and merged,
+    so the shuffle carries sketch bytes instead of raw values. The
+    sketch estimates are self-checked IN-QUERY against the exact
+    answers (computable at test scale): HLL within 3x its configured
+    rsd, quantile within the value spread of its rank-error window.
+    The oracle pins the exact values (SQL-computable) and the check
+    booleans at TRUE, so a sketch drifting out of its error contract
+    fails the row."""
+    ev = _read(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.approx_count_distinct("user_id", 0.02).alias("_users_hll"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.expr("approx_percentile(value, array(0.5, 0.95), 10000)")
+        .alias("_q"),
+        F.expr("percentile(value, array(0.5, 0.95))").alias("_qx"),
+        F.count("value").alias("n_values"))
+    return agg.select(
+        "n_users_exact", "n_values",
+        (F.abs(F.col("_users_hll") - F.col("n_users_exact"))
+         <= 0.06 * F.col("n_users_exact")).alias("hll_ok"),
+        _r4(F.col("_qx")[0]).alias("p50_exact"),
+        _r4(F.col("_qx")[1]).alias("p95_exact"),
+        # accuracy=10000 -> rank error <= n/10000; at test scale that
+        # window is tiny, so 1% of the exact value bounds the drift
+        (F.abs(F.col("_q")[0] - F.col("_qx")[0])
+         <= F.lit(0.01) * F.abs(F.col("_qx")[0]) + 0.01).alias("p50_ok"),
+        (F.abs(F.col("_q")[1] - F.col("_qx")[1])
+         <= F.lit(0.01) * F.abs(F.col("_qx")[1]) + 0.01).alias("p95_ok"))
+
+
 def q_streaming_neardup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming first-seen MinHash near-dup vs batch minhash_dedup as
     a driver-checkable constant. Corpus = 150 real documents (sorted
@@ -1152,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_rollup_parity": q_streaming_rollup_parity,
         "streaming_dedup_parity": q_streaming_dedup_parity,
         "streaming_neardup_parity": q_streaming_neardup_parity,
+        "profile_sketches": q_profile_sketches,
         "lineage_resume": q_lineage_resume,
         "csv_roundtrip": q_csv_roundtrip,
         "tree_dist_parity": q_tree_dist_parity,
@@ -1599,6 +1633,16 @@ def oracle_sql() -> dict[str, str]:
                        lower(text), '\\s+', ' ', 'g'))) AS n_dups,
                    CAST(0 AS BIGINT) AS n_mismatches
             FROM documents
+        """,
+        "profile_sketches": """
+            SELECT count(DISTINCT user_id) AS n_users_exact,
+                   count(value) AS n_values,
+                   TRUE AS hll_ok,
+                   round(quantile_cont(value, 0.5), 4) AS p50_exact,
+                   round(quantile_cont(value, 0.95), 4) AS p95_exact,
+                   TRUE AS p50_ok,
+                   TRUE AS p95_ok
+            FROM events
         """,
         "streaming_neardup_parity": """
             SELECT CAST(200 AS BIGINT) AS n_docs,
