@@ -767,6 +767,60 @@ def q_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(mism.cast("long")).alias("n_mismatches"))
 
 
+def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction as a driver-checkable constant: write a
+    deterministic 1h tier with 6 files per (source, day) partition,
+    compact to the size-justified count (1 here), and return the
+    physical/logical invariants. The oracle pins files_after =
+    n_partitions (one each), checksum equality, and lineage-verify
+    all-ok."""
+    import tempfile
+
+    from kapra_spark import datagen
+    from kapra_spark.operators import rollup as R
+    from kapra_spark.operators.compact import (compact_partitions,
+                                               list_partition_files)
+    from kapra_spark.operators.lineage import (partition_metrics,
+                                               verify_against_lineage,
+                                               write_with_lineage)
+
+    tmp = tempfile.mkdtemp(prefix="ks_compact_")
+    path, lin = f"{tmp}/tier1h", f"{tmp}/lineage"
+    pdf = datagen.tokens_pdf(36, n_tok=1440 * 2, seed=11)
+    tokens = spark.createDataFrame(pdf, schema=datagen.TOKENS_SCHEMA)
+    df = (R.cascade_fast(tokens, tiers=("1h",))
+          .withColumn("day",
+                      F.to_date(F.timestamp_seconds(F.col("bucket")))))
+    write_with_lineage(df.repartition(6), path, ["source", "day"], lin,
+                       run_id="r0", stage="tier_1h")
+    before = {r["partition_key"]: (r["row_count"], r["checksum"])
+              for r in partition_metrics(
+                  spark.read.parquet(path), ["source", "day"]).collect()}
+    stats = compact_partitions(spark, path, ["source", "day"],
+                               lineage_path=lin, stage="tier_1h",
+                               target_bytes=1 << 30)
+    after = {r["partition_key"]: (r["row_count"], r["checksum"])
+             for r in partition_metrics(
+                 spark.read.parquet(path), ["source", "day"]).collect()}
+    files_after = sum(
+        d["n_files"]
+        for d in list_partition_files(spark, path, ["source", "day"]))
+    bad = (verify_against_lineage(spark, path, ["source", "day"],
+                                  lin, "tier_1h")
+           .filter(~F.col("ok")).count())
+    return spark.createDataFrame(
+        [(len(before), stats["files_before"], files_after,
+          after == before, int(bad))],
+        "n_partitions long, files_before long, files_after long, "
+        "checksums_equal boolean, lineage_mismatches long"
+    ).select("n_partitions",
+             (F.col("files_before") > F.col("files_after")).alias(
+                 "files_reduced"),
+             (F.col("files_after") == F.col("n_partitions")).alias(
+                 "one_file_each"),
+             "checksums_equal", "lineage_mismatches")
+
+
 def q_profile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass corpus profiling with Spark's built-in MERGEABLE
     sketches — the 100 TB shape: HyperLogLog++ distinct counts and a
@@ -1186,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_parity": q_streaming_dedup_parity,
         "streaming_neardup_parity": q_streaming_neardup_parity,
         "profile_sketches": q_profile_sketches,
+        "compaction_roundtrip": q_compaction_roundtrip,
         "lineage_resume": q_lineage_resume,
         "csv_roundtrip": q_csv_roundtrip,
         "tree_dist_parity": q_tree_dist_parity,
@@ -1633,6 +1688,13 @@ def oracle_sql() -> dict[str, str]:
                        lower(text), '\\s+', ' ', 'g'))) AS n_dups,
                    CAST(0 AS BIGINT) AS n_mismatches
             FROM documents
+        """,
+        "compaction_roundtrip": """
+            SELECT CAST(8 AS BIGINT) AS n_partitions,
+                   TRUE AS files_reduced,
+                   TRUE AS one_file_each,
+                   TRUE AS checksums_equal,
+                   CAST(0 AS BIGINT) AS lineage_mismatches
         """,
         "profile_sketches": """
             SELECT count(DISTINCT user_id) AS n_users_exact,
