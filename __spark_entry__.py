@@ -767,6 +767,41 @@ def q_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(mism.cast("long")).alias("n_mismatches"))
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer train + encode as a driver-checkable constant:
+    train merges on 300 documents (one distributed counting pass +
+    exact greedy on the pruned word table), encode with the broadcast
+    merge ranks, and verify IN-QUERY that decoding every doc's tokens
+    reproduces its normalized word sequence. The oracle pins n_docs /
+    n_merges / zero mismatches / compression; n_tokens is the pinned
+    deterministic total."""
+    from kapra_spark.operators.bpe import _WORD_RE, bpe_encode, bpe_train
+
+    docs = (_read(spark, sf_dir, "documents")
+            .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+            .orderBy("doc_id").limit(300).cache())
+    merges = bpe_train(docs, n_merges=120, min_count=2)
+    enc = bpe_encode(docs, merges)
+    decoded = enc.select(
+        "doc_id", "n_bpe",
+        F.trim(F.regexp_replace(F.concat_ws("", "bpe_tokens"),
+                                "</w>", " ")).alias("dec"))
+    norm = docs.select(
+        "doc_id",
+        F.array_join(F.regexp_extract_all("text", F.lit(_WORD_RE),
+                                          F.lit(0)), " ").alias("want"),
+        F.length("text").alias("n_chars"))
+    j = decoded.join(norm, "doc_id", "full_outer")
+    return j.agg(
+        F.count("*").alias("n_docs"),
+        F.lit(len(merges)).cast("long").alias("n_merges"),
+        F.sum((F.col("dec").isNull() | F.col("want").isNull()
+               | (F.col("dec") != F.col("want"))).cast("long"))
+        .alias("n_mismatches"),
+        F.sum("n_bpe").alias("n_tokens"),
+        (F.sum("n_bpe") < F.sum("n_chars")).alias("compresses"))
+
+
 def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction as a driver-checkable constant: write a
     deterministic 1h tier with 6 files per (source, day) partition,
@@ -1241,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_neardup_parity": q_streaming_neardup_parity,
         "profile_sketches": q_profile_sketches,
         "compaction_roundtrip": q_compaction_roundtrip,
+        "bpe_tokenize": q_bpe_tokenize,
         "lineage_resume": q_lineage_resume,
         "csv_roundtrip": q_csv_roundtrip,
         "tree_dist_parity": q_tree_dist_parity,
@@ -1688,6 +1724,13 @@ def oracle_sql() -> dict[str, str]:
                        lower(text), '\\s+', ' ', 'g'))) AS n_dups,
                    CAST(0 AS BIGINT) AS n_mismatches
             FROM documents
+        """,
+        "bpe_tokenize": """
+            SELECT CAST(300 AS BIGINT) AS n_docs,
+                   CAST(106 AS BIGINT) AS n_merges,
+                   CAST(0 AS BIGINT) AS n_mismatches,
+                   CAST(16617 AS BIGINT) AS n_tokens,
+                   TRUE AS compresses
         """,
         "compaction_roundtrip": """
             SELECT CAST(8 AS BIGINT) AS n_partitions,
