@@ -137,6 +137,46 @@ def main() -> None:
               lambda s: "\n".join(l for l in s.splitlines()
                                   if re.search(r"PartitionFilters|Scan|Join", l))[:1400])
 
+    from kapra_spark.operators.bpe import bpe_encode, word_counts
+    from kapra_spark.operators.embeddings import pca_project, pca_train
+
+    # no .limit() here: GlobalLimit would insert a SinglePartition
+    # Exchange and mask the operators' own (zero-)shuffle shape
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    wc = word_counts(docs, "text")
+    p = plan_of(wc)
+    ok &= add("BPE word counting — one shuffle with map-side partials",
+              wc,
+              [("exactly 1 Exchange", count(p, "Exchange") == 1),
+               ("partial + final HashAggregate (map-side combine)",
+                count(p, "HashAggregate") >= 2)],
+              lambda s: "\n".join(l for l in s.splitlines()
+                                  if re.search(r"Exchange|HashAggregate|Generate|Scan", l))[:1200])
+
+    merges = [("t", "h"), ("th", "e")]
+    enc = bpe_encode(docs, merges)
+    p = plan_of(enc)
+    ok &= add("BPE encode — narrow mapInPandas, zero shuffle",
+              enc,
+              [("no Exchange in the plan", count(p, "Exchange") == 0),
+               ("one Python map over the scan",
+                count(p, "MapInPandas|PythonMap") >= 1)],
+              lambda s: s[:900])
+
+    emb_small = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet")
+    model = pca_train(emb_small, k=8)
+    proj = pca_project(emb_small, model)
+    p = plan_of(proj)
+    ok &= add("PCA projection — zero shuffle; fit shuffles only O(d^2) scalars",
+              proj,
+              [("no Exchange in the projection plan",
+                count(p, "Exchange") == 0),
+               ("one Python map over the scan",
+                count(p, "MapInPandas|PythonMap") >= 1)],
+              lambda s: s[:900])
+
     header = """# PLANS.md — physical-plan evidence
 
 Generated by `python tools/dump_plans.py` (re-run any time). Each
