@@ -233,6 +233,42 @@ def main() -> None:
         avi_decode(avi)
         n_dec += 1
     extras["avi_decode_mbps"] = round(n_dec * raw_mb / (time.time() - t0), 1)
+
+    # MJPG decode throughput — the same frames as baseline JPEGs
+    # (functions/jpeg.py through the AVI path), decoded for ~0.4 s
+    mj = avi_encode(fr, fps=24, codec="MJPG", quality=85)
+    n_dec, t_end = 0, time.time() + 0.4
+    t0 = time.time()
+    while time.time() < t_end:
+        avi_decode(mj)
+        n_dec += 1
+    extras["mjpg_decode_mbps"] = round(n_dec * raw_mb / (time.time() - t0), 1)
+
+    # BPE encode throughput (kernel path the mapInPandas batches run):
+    # deterministic pseudo-text, merges trained on it, ~0.4 s encode
+    from kapra_spark.operators.bpe import (_encode_word, _train_merges,
+                                           _WORD_RE)
+    import re as _re
+
+    rng_words = [f"w{(i * 2654435761) % 997:03d}" for i in range(400)]
+    text = " ".join(rng_words[i % 400] for i in range(20_000))
+    wre = _re.compile(_WORD_RE)
+    words = wre.findall(text)
+    freqs: dict = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+    ranks = {p: i for i, p in enumerate(_train_merges(freqs, 200))}
+    n_words, t_end = 0, time.time() + 0.4
+    t0 = time.time()
+    while time.time() < t_end:
+        cache: dict = {}          # cold per pass: measures the encode
+        for w in words:           # kernel, not the memo-hit dict read
+            if w not in cache:
+                cache[w] = _encode_word(w, ranks)
+        n_words += len(words)
+    extras["bpe_encode_mwords_s"] = round(
+        n_words / (time.time() - t0) / 1e6, 2)
+
     extras["points_per_sec_fast"] = round(
         total_points / timings["tokens_cascade_fast"], 1)
     extras["points_per_sec_longform"] = round(
