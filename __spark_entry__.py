@@ -767,6 +767,29 @@ def q_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(mism.cast("long")).alias("n_mismatches"))
 
 
+def q_ingest_documents_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data ingest: raw documents -> BPE train ->
+    bpe_tokens_table (the canonical input_hint schema, one narrow
+    pass) -> 1h rollup cascade. Pins the whole chain as one
+    deterministic constant: rollup row count, total points, distinct
+    sources, and token-id range sanity."""
+    from kapra_spark.operators import rollup as R
+    from kapra_spark.operators.bpe import bpe_tokens_table, bpe_train
+
+    docs = (_read(spark, sf_dir, "documents")
+            .select(F.col("doc_id").cast("string").alias("doc_id"),
+                    "text", "source")
+            .orderBy("doc_id").limit(250).cache())
+    merges = bpe_train(docs, n_merges=100, min_count=2)
+    tok = bpe_tokens_table(docs, merges).filter(F.col("n_tok") > 0)
+    tier = R.cascade_fast(tok, tiers=("1h",))
+    return tier.agg(
+        F.count("*").alias("n_rollup_rows"),
+        F.sum("cnt").alias("n_points"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.min("min") >= 0).alias("ids_nonneg"))
+
+
 def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA over the embeddings table as a driver-checkable
     constant: one moment-sums pass (the only shuffle carries O(d^2)
@@ -1310,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_roundtrip": q_compaction_roundtrip,
         "bpe_tokenize": q_bpe_tokenize,
         "pca_embeddings": q_pca_embeddings,
+        "ingest_documents_rollup": q_ingest_documents_rollup,
         "lineage_resume": q_lineage_resume,
         "csv_roundtrip": q_csv_roundtrip,
         "tree_dist_parity": q_tree_dist_parity,
@@ -1757,6 +1781,12 @@ def oracle_sql() -> dict[str, str]:
                        lower(text), '\\s+', ' ', 'g'))) AS n_dups,
                    CAST(0 AS BIGINT) AS n_mismatches
             FROM documents
+        """,
+        "ingest_documents_rollup": """
+            SELECT CAST(380 AS BIGINT) AS n_rollup_rows,
+                   CAST(16166 AS BIGINT) AS n_points,
+                   CAST(20 AS BIGINT) AS n_sources,
+                   TRUE AS ids_nonneg
         """,
         "pca_embeddings": """
             SELECT count(*) AS n_rows,

@@ -154,14 +154,20 @@ BPE_SCHEMA = T.StructType([
 
 def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
                text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id",
+               carry_cols: list[str] | None = None) -> DataFrame:
     """Encode the corpus with a trained merge list: narrow
     mapInPandas, merge ranks broadcast via closure, per-batch
-    memoization of distinct-word encodings."""
+    memoization of distinct-word encodings. ``carry_cols`` pass
+    through unchanged (keeps downstream use join-free)."""
     import re
 
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     word_re = re.compile(_WORD_RE)
+    carry = list(carry_cols or [])
+    schema = T.StructType(
+        BPE_SCHEMA.fields
+        + [df.schema[c] for c in carry])
 
     def fn(batches):
         cache: dict[str, list[str]] = {}
@@ -177,13 +183,16 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
 
         for pdf in batches:
             toks = [enc(t) for t in pdf[text_col]]
-            yield pd.DataFrame({
+            out = pd.DataFrame({
                 "doc_id": pdf[id_col].astype(str),
                 "bpe_tokens": toks,
                 "n_bpe": [len(t) for t in toks],
             })
+            for c in carry:
+                out[c] = pdf[c].values
+            yield out
 
-    return df.select(id_col, text_col).mapInPandas(fn, BPE_SCHEMA)
+    return df.select(id_col, text_col, *carry).mapInPandas(fn, schema)
 
 
 def bpe_decode_tokens(tokens: list[str]) -> str:
@@ -200,3 +209,35 @@ def bpe_vocab(merges: list[tuple[str, str]],
     out = sorted(base) if base else []
     out.extend(a + b for a, b in merges)
     return out
+
+
+def bpe_tokens_table(df: DataFrame, merges: list[tuple[str, str]],
+                     text_col: str = "text", id_col: str = "doc_id",
+                     source_col: str = "source") -> DataFrame:
+    """Raw text -> the engine's canonical tokens table
+    (doc_id string, tokens array<int32>, n_tok int32, source string;
+    BASELINE.json input_hint): encode with the merge list, then map
+    token STRINGS to integer ids with a deterministic hash
+    (xxhash64 folded to non-negative int32 — id assignment needs no
+    vocabulary broadcast or join, so this stays one narrow pass).
+    The ids feed rollup/compression exactly like pre-tokenized
+    input — the end-to-end ingest bridge from a document corpus to
+    the retention tiers. Zero shuffle: one mapInPandas (source
+    carried through, no join) followed by JVM-side
+    transform/xxhash64 expressions."""
+    src = (df.select(F.col(id_col).cast("string").alias("doc_id"),
+                     F.col(text_col),
+                     F.col(source_col).cast("string").alias("source"))
+           if source_col in df.columns else
+           df.select(F.col(id_col).cast("string").alias("doc_id"),
+                     F.col(text_col), F.lit("corpus").alias("source")))
+    enc = bpe_encode(src, merges, text_col=text_col, id_col="doc_id",
+                     carry_cols=["source"])
+    return enc.select(
+        "doc_id",
+        F.transform(
+            "bpe_tokens",
+            lambda t: F.pmod(F.xxhash64(t), F.lit(2_000_000_000))
+            .cast("int")).alias("tokens"),
+        F.col("n_bpe").alias("n_tok"),
+        "source")

@@ -3,6 +3,7 @@ Sennrich et al. example, determinism, distributed-vs-local count
 parity, encode/decode round trip, and compression sanity."""
 
 import pandas as pd
+import pyspark.sql.functions as F
 import pytest
 
 from kapra_spark.operators.bpe import (_encode_word, _train_merges,
@@ -81,3 +82,44 @@ def test_vocab_shape():
     merges = [("a", "b"), ("ab", "c")]
     assert bpe_vocab(merges, base={"a", "b", "c"}) == \
         ["a", "b", "c", "ab", "abc"]
+
+
+def test_bpe_tokens_table_feeds_the_engine(spark):
+    """documents -> bpe_tokens_table yields the canonical tokens
+    schema (BASELINE.json input_hint), zero-shuffle, and flows
+    through compress_tokens -> decompress unchanged — the end-to-end
+    ingest bridge from raw text to the engine."""
+    from kapra_spark import datagen
+    from kapra_spark.operators.bpe import bpe_tokens_table
+    from kapra_spark.operators.compress import (compress_tokens,
+                                                decompress_tokens)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text", "source").limit(60).cache())
+    merges = bpe_train(docs, n_merges=80, min_count=2)
+    tok = bpe_tokens_table(docs, merges)
+
+    assert [(f.name, f.dataType.simpleString())
+            for f in tok.schema.fields] == \
+        [(f.name, f.dataType.simpleString())
+         for f in datagen.TOKENS_SCHEMA.fields]
+    plan = tok._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # ingest is one narrow pass
+
+    pdf = tok.toPandas()
+    assert len(pdf) == 60
+    assert (pdf["n_tok"] == pdf["tokens"].map(len)).all()
+    assert all(0 <= t < 2_000_000_000
+               for toks in pdf["tokens"] for t in toks)
+
+    # the ids behave like any pre-tokenized input downstream
+    blocks = compress_tokens(tok.filter(F.col("n_tok") > 0))
+    back = (decompress_tokens(blocks).orderBy("doc_id", "t0")
+            .toPandas())
+    got = {}
+    for _, r in back.iterrows():
+        got.setdefault(r["doc_id"], []).extend(
+            int(x) for x in r["tokens"] if x is not None)
+    want = {r["doc_id"]: [int(x) for x in r["tokens"]]
+            for _, r in pdf.iterrows() if r["n_tok"] > 0}
+    assert got == want
