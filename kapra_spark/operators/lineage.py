@@ -58,9 +58,17 @@ def write_with_lineage(
     run_id: str,
     stage: str,
     resume: bool = True,
+    sort_within: list[str] | None = None,
 ) -> dict:
     """Write ``df`` partitioned by ``partition_cols`` with exactly-once
-    semantics. Returns {written_partitions, skipped_partitions}."""
+    semantics. Returns {written_partitions, skipped_partitions}.
+
+    ``sort_within`` sorts rows WITHIN each task before writing (no
+    shuffle — ``sortWithinPartitions``), which makes parquet row-group
+    min/max statistics on those columns tight and disjoint: a point
+    lookup (``doc_id = X``) then skips whole row groups at scan time
+    instead of reading the partition. The scan-locality knob for the
+    blocks store — the parquet equivalent of an Iceberg sort order."""
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -94,7 +102,12 @@ def write_with_lineage(
                     .withColumnRenamed("partition_key", "_pk"))
                 df = df.join(done_df, "_pk", "left_anti")
 
-    work = df.drop("_pk").cache()
+    work = df.drop("_pk")
+    if sort_within:
+        # partition cols lead so the file writer's required clustering
+        # is already satisfied and it inserts no second (unstable) sort
+        work = work.sortWithinPartitions(*partition_cols, *sort_within)
+    work = work.cache()
     # materialize metrics BEFORE the lineage append (the plan reads the
     # lineage table through the resume anti-join, so a lazy
     # re-evaluation after the append would see its own commit) and

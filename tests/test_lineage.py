@@ -93,3 +93,28 @@ def test_salted_repartition_spreads_hot_key(spark):
              .filter(F.col("source") == "sales")
              .groupBy("pid").count().collect())
     assert len(sizes) > 1  # the hot source no longer lives in one task
+
+
+def test_sort_within_orders_files_for_rowgroup_pruning(spark, tier1h,
+                                                       tmp_path):
+    """sort_within writes each parquet file ordered by the sort key,
+    which is what makes row-group min/max stats tight (scan-time
+    skipping for point lookups); checksums are order-independent so
+    lineage is unaffected."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path, lin = str(tmp_path / "sorted"), str(tmp_path / "lin")
+    write_with_lineage(tier1h.repartition(4), path, ["source", "day"],
+                       lin, run_id="r0", stage="s",
+                       sort_within=["doc_id", "bucket"])
+    files = glob.glob(f"{path}/**/*.parquet", recursive=True)
+    assert files
+    for f in files:
+        t = pq.read_table(f, columns=["doc_id", "bucket"]).to_pandas()
+        key = list(zip(t["doc_id"], t["bucket"]))
+        assert key == sorted(key), f
+    # lineage still verifies (checksum is order-free)
+    v = verify_against_lineage(spark, path, ["source", "day"], lin, "s")
+    assert v.filter(~F.col("ok")).count() == 0
