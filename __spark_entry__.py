@@ -100,6 +100,17 @@ def q_gapfill_locf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("series", "bucket", "filled", _r4("value").alias("value"))
 
 
+def q_gapfill_interp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 variant: linear-interpolation gap-fill (the TimescaleDB
+    interpolate() analogue) — gaps take the affine blend of the
+    surrounding observed buckets; leading/trailing gaps stay NULL."""
+    from kapra_spark.operators.rollup import events_gapfill_interp
+
+    df = events_gapfill_interp(_read(spark, sf_dir, "events"), 3600)
+    return df.select("series", "bucket", "filled",
+                     _r4("value").alias("value"))
+
+
 def q_row_number_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: deterministic ranking window (replaces the reference's
     head(n) downsampler, utils/downsample_dataset.py:27)."""
@@ -1295,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cascade_1d_from_1h": q_cascade_1d_from_1h,
         "retention_1m": q_retention_1m,
         "gapfill_locf_events": q_gapfill_locf_events,
+        "gapfill_interp_events": q_gapfill_interp_events,
         "row_number_rank": q_row_number_rank,
         "limit_events": q_limit_events,
         "global_minmax_lineitem": q_global_minmax_lineitem,
@@ -1421,6 +1433,48 @@ def oracle_sql() -> dict[str, str]:
                      ROWS UNBOUNDED PRECEDING), 4) AS value
             FROM spine sp LEFT JOIN actual a
               ON sp.series = a.series AND sp.bucket = a.bucket
+        """,
+        "gapfill_interp_events": """
+            WITH actual AS (
+              SELECT event_type AS series,
+                     (floor(epoch(ts))::BIGINT // 3600) * 3600 AS bucket,
+                     sum(value) AS value
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT (min(floor(epoch(ts))::BIGINT) // 3600) * 3600 AS lo,
+                     (max(floor(epoch(ts))::BIGINT) // 3600) * 3600 AS hi
+              FROM events
+            ), spine AS (
+              SELECT s.series, g.bucket
+              FROM (SELECT DISTINCT event_type AS series FROM events) s
+              CROSS JOIN (SELECT unnest(generate_series(lo, hi, 3600)) AS bucket
+                          FROM bounds) g
+            ), j AS (
+              SELECT sp.series, sp.bucket, a.value AS v,
+                     last_value(a.value IGNORE NULLS) OVER back AS pv,
+                     last_value(CASE WHEN a.value IS NOT NULL
+                                THEN sp.bucket END IGNORE NULLS)
+                       OVER back AS pp,
+                     first_value(a.value IGNORE NULLS) OVER fwd AS nv,
+                     first_value(CASE WHEN a.value IS NOT NULL
+                                 THEN sp.bucket END IGNORE NULLS)
+                       OVER fwd AS np
+              FROM spine sp LEFT JOIN actual a
+                ON sp.series = a.series AND sp.bucket = a.bucket
+              WINDOW back AS (PARTITION BY sp.series ORDER BY sp.bucket
+                              ROWS UNBOUNDED PRECEDING),
+                     fwd AS (PARTITION BY sp.series ORDER BY sp.bucket
+                             ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING)
+            )
+            SELECT series, bucket,
+                   (v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL)
+                     AS filled,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                         WHEN pv IS NOT NULL AND nv IS NOT NULL
+                         THEN pv + (nv - pv) * (bucket - pp) / (np - pp)
+                         END, 4) AS value
+            FROM j
         """,
         "row_number_rank": """
             SELECT event_type, event_id, round(value, 4) AS value, rn

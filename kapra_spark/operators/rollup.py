@@ -85,6 +85,46 @@ def gapfill_locf(long_df: DataFrame,
     )
 
 
+def gapfill_interpolate(long_df: DataFrame,
+                        series_cols: tuple[str, ...] = ("source", "doc_id"),
+                        order_col: str = "pos",
+                        value_col: str = "value") -> DataFrame:
+    """Linear-interpolation gap-fill over each series (the
+    TimescaleDB ``interpolate()`` analogue to :func:`gapfill_locf`):
+    a NULL at position p between observations (p0, v0) and (p1, v1)
+    becomes v0 + (v1 - v0) * (p - p0) / (p1 - p0), as DOUBLE. Leading
+    and trailing gaps (no observation on one side) stay NULL. Adds
+    ``filled`` = true where a value was interpolated.
+
+    Pure window functions over the same series partitioning as LOCF
+    (two passes over one Exchange: last/ignoreNulls looking back,
+    first/ignoreNulls looking forward) — no UDF, no extra shuffle
+    under the cascade's upfront repartition."""
+    back = (Window.partitionBy(*series_cols).orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, 0))
+    fwd = (Window.partitionBy(*series_cols).orderBy(order_col)
+           .rowsBetween(0, Window.unboundedFollowing))
+    v = F.col(value_col)
+    prev_v = F.last(value_col, ignorenulls=True).over(back)
+    next_v = F.first(value_col, ignorenulls=True).over(fwd)
+    prev_p = F.last(F.when(v.isNotNull(), F.col(order_col)),
+                    ignorenulls=True).over(back)
+    next_p = F.first(F.when(v.isNotNull(), F.col(order_col)),
+                     ignorenulls=True).over(fwd)
+    interp = (prev_v.cast("double")
+              + (next_v - prev_v).cast("double")
+              * (F.col(order_col) - prev_p).cast("double")
+              / (next_p - prev_p).cast("double"))
+    filled = v.isNull() & prev_v.isNotNull() & next_v.isNotNull()
+    return (long_df
+            .withColumn("_interp",
+                        F.when(v.isNotNull(), v.cast("double"))
+                        .when(filled, interp))
+            .withColumn("filled", filled)
+            .withColumn(value_col, F.col("_interp"))
+            .drop("_interp"))
+
+
 # ---------------------------------------------------------------------------
 # cascade (long-form, general path)
 # ---------------------------------------------------------------------------
@@ -398,3 +438,31 @@ def events_gapfill(events_df: DataFrame, tier_seconds: int,
         .withColumn("filled", F.col("value").isNull())
         .withColumn("value", F.last("value", ignorenulls=True).over(w))
     )
+
+
+def events_gapfill_interp(events_df: DataFrame, tier_seconds: int,
+                          series_col: str = "event_type",
+                          ts_col: str = "ts",
+                          value_col: str = "value") -> DataFrame:
+    """Like :func:`events_gapfill` but gaps are LINEARLY INTERPOLATED
+    between the surrounding observed buckets
+    (:func:`gapfill_interpolate`); leading/trailing gaps stay NULL."""
+    bucket = (F.unix_timestamp(ts_col) / tier_seconds).cast("long") * tier_seconds
+    actual = (
+        events_df
+        .groupBy(F.col(series_col).alias("series"), bucket.alias("bucket"))
+        .agg(F.sum(value_col).alias("value"))
+    )
+    bounds = events_df.agg(
+        (F.floor(F.min(F.unix_timestamp(ts_col)) / tier_seconds) * tier_seconds).alias("lo"),
+        (F.floor(F.max(F.unix_timestamp(ts_col)) / tier_seconds) * tier_seconds).alias("hi"),
+    )
+    spine = (
+        events_df.select(F.col(series_col).alias("series")).distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("series", F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(tier_seconds))).alias("bucket"))
+    )
+    joined = spine.join(actual, ["series", "bucket"], "left")
+    return gapfill_interpolate(joined, series_cols=("series",),
+                               order_col="bucket", value_col="value")

@@ -150,3 +150,22 @@ def test_tokens_df_deterministic_across_partitioning(spark):
     assert a["source"].tolist() == b["source"].tolist()
     for x, y in zip(a["tokens"], b["tokens"]):
         assert list(x) == list(y)
+
+
+def test_gapfill_interpolate_exact(spark):
+    """Linear interp: interior gaps take the affine blend, leading and
+    trailing gaps stay NULL, observed rows pass through."""
+    from kapra_spark.operators.rollup import gapfill_interpolate
+
+    rows = [("s", "d", 0, None), ("s", "d", 1, 10), ("s", "d", 2, None),
+            ("s", "d", 3, None), ("s", "d", 4, 40), ("s", "d", 5, None)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id string, pos int, value long")
+    got = {r["pos"]: (r["value"], r["filled"])
+           for r in gapfill_interpolate(df).collect()}
+    assert got[0] == (None, False)        # leading gap stays NULL
+    assert got[1] == (10.0, False)
+    assert got[2] == (20.0, True)         # 10 + (40-10)*(2-1)/(4-1)
+    assert got[3] == (30.0, True)
+    assert got[4] == (40.0, False)
+    assert got[5] == (None, False)        # trailing gap stays NULL
