@@ -123,3 +123,36 @@ def test_bpe_tokens_table_feeds_the_engine(spark):
     want = {r["doc_id"]: [int(x) for x in r["tokens"]]
             for _, r in pdf.iterrows() if r["n_tok"] > 0}
     assert got == want
+
+
+def test_bpe_roundtrip_property():
+    """Hypothesis: for ANY corpus and any merge budget, encoding then
+    decoding every word reproduces it exactly (kernel-level, no
+    Spark)."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    wre = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]")
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        words=st.lists(st.text(
+            alphabet="abcdef01!,. ", min_size=1, max_size=12),
+            min_size=1, max_size=30),
+        n_merges=st.integers(0, 60),
+    )
+    def inner(words, n_merges):
+        toks = [w for t in words for w in wre.findall(t)]
+        if not toks:
+            return
+        freqs = {}
+        for w in toks:
+            freqs[w] = freqs.get(w, 0) + 1
+        ranks = {p: i for i, p in
+                 enumerate(_train_merges(freqs, n_merges))}
+        for w in set(toks):
+            assert bpe_decode_tokens(_encode_word(w, ranks)) == w
+
+    inner()
