@@ -590,14 +590,14 @@ def q_tokens_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> groupBy) cascade must produce identical 1h buckets. Oracle pins
     (n_buckets, 0 mismatches)."""
     from kapra_spark import datagen
-    from kapra_spark.operators.rollup import cascade, cascade_fast
+    from kapra_spark.operators.rollup import cascade_declarative, cascade_fast
 
     tokens = datagen.tokens_df(spark, 300, n_tok=144, seed=42)
     fast = (cascade_fast(tokens, tiers=("1h",))
             .select("source", "doc_id", "bucket", "cnt",
                     F.col("sum").alias("f_sum"), F.col("min").alias("f_min"),
                     F.col("max").alias("f_max")))
-    long_1h = (cascade(tokens, tiers=("1m", "1h"))["1h"]
+    long_1h = (cascade_declarative(tokens, tiers=("1m", "1h"))["1h"]
                .select("source", "doc_id",
                        F.unix_timestamp("bucket").alias("bucket"),
                        F.col("cnt").alias("l_cnt"),
@@ -1300,7 +1300,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """All 61 declared queries.
+
+    ORDERING MATTERS for the official correctness record: the r5
+    driver run truncated cleanly at 50 entries, leaving the tail 11
+    with no official row (VERDICT r5 finding #2). The dict is
+    therefore ordered by certification priority, not by theme: first
+    the queries that have never had an official driver row
+    (jaccard_ngram_join, media_features_mjpg), then every §2-critical
+    certificate the r5 run missed, then the rest, with
+    redundant-with-pytest constants last. No query was added, removed
+    or changed — only reordered."""
     return {
+        # never officially verified (new in r5, truncated out) — first
+        "jaccard_ngram_join": q_jaccard_ngram_join,
+        "media_features_mjpg": q_media_features_mjpg,
+        # §2-critical certificates the r5 run truncated out
+        "kp_anonymize_kapra": q_kp_anonymize_kapra,
+        "kp_anonymize_naive": q_kp_anonymize_naive,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "tokens_rollup_1h": q_tokens_rollup_1h,
+        "fused_production": q_fused_production,
+        "gorilla_roundtrip": q_gorilla_roundtrip,
+        "sax_encode": q_sax_encode,
+        "pattern_loss_global": q_pattern_loss_global,
+        # operator coverage (rollup / window / gap-fill)
         "rollup_1h_events": q_rollup_1h_events,
         "rollup_1d_events": q_rollup_1d_events,
         "cascade_1d_from_1h": q_cascade_1d_from_1h,
@@ -1337,7 +1362,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "ann_recall_ivf": q_ann_recall_ivf,
         "embedding_neardup": q_embedding_neardup,
-        # streaming + lineage certificates (self-verifying constants)
+        # distributed anonymizer / tree + media certificates
+        "tree_dist_parity": q_tree_dist_parity,
+        "kp_dist_parity": q_kp_dist_parity,
+        "kp_dist_sharded": q_kp_dist_sharded,
+        "tree_dist_mid": q_tree_dist_mid,
+        "media_features": q_media_features,
+        # streaming + lineage certificates (self-verifying constants,
+        # all additionally pinned by pytest — safe at the tail)
         "streaming_rollup_parity": q_streaming_rollup_parity,
         "streaming_dedup_parity": q_streaming_dedup_parity,
         "streaming_neardup_parity": q_streaming_neardup_parity,
@@ -1348,23 +1380,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_documents_rollup": q_ingest_documents_rollup,
         "lineage_resume": q_lineage_resume,
         "csv_roundtrip": q_csv_roundtrip,
-        "tree_dist_parity": q_tree_dist_parity,
-        "kp_dist_parity": q_kp_dist_parity,
-        "kp_dist_sharded": q_kp_dist_sharded,
-        "tree_dist_mid": q_tree_dist_mid,
-        "media_features": q_media_features,
-        "media_features_mjpg": q_media_features_mjpg,
-        # non-SQL-expressible (rows-only driver check + pytest goldens)
-        "kp_anonymize_kapra": q_kp_anonymize_kapra,
-        "kp_anonymize_naive": q_kp_anonymize_naive,
-        "minhash_neardup": q_minhash_neardup,
-        "jaccard_ngram_join": q_jaccard_ngram_join,
-        "simhash_neardup": q_simhash_neardup,
-        "tokens_rollup_1h": q_tokens_rollup_1h,
-        "fused_production": q_fused_production,
-        "gorilla_roundtrip": q_gorilla_roundtrip,
-        "sax_encode": q_sax_encode,
-        "pattern_loss_global": q_pattern_loss_global,
     }
 
 

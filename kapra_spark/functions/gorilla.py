@@ -87,35 +87,71 @@ def encode_block(ts: np.ndarray, values: np.ndarray) -> tuple[int, int, int, byt
 
 def encode_batch(ts2d: np.ndarray, vals2d: np.ndarray, chunk_rows: int = 1024
                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[bytes]]:
-    """Encode (rows, T) timestamp + value matrices into per-row blocks.
-
-    Entirely vectorized: builds a (rows, T-1, maxbits) bit tensor plus
-    validity mask, scatters valid bits into one byte-aligned flat
-    buffer, and packs with a single ``np.packbits``. The bit budget is
-    sized from the data (typical token streams need ~25 bits/point, not
-    the 145-bit worst case) and rows are processed in chunks to bound
-    the tensor's memory.
-    """
+    """Encode (rows, T) timestamp + value matrices into per-row blocks,
+    returning per-row ``bytes`` payloads. Thin slicing wrapper over
+    :func:`_encode_chunk`; the Arrow hot path
+    (:func:`encode_batch_arrow`) skips the per-row bytes objects."""
     ts2d = np.asarray(ts2d, dtype=np.int64)
     vals2d = np.asarray(vals2d, dtype=np.int64)
     rows = vals2d.shape[0]
-    if rows > chunk_rows:
-        t0s, v0s, ns, payloads = [], [], [], []
-        for s in range(0, rows, chunk_rows):
-            a, b, c, d = encode_batch(ts2d[s:s + chunk_rows],
-                                      vals2d[s:s + chunk_rows], chunk_rows)
-            t0s.append(a)
-            v0s.append(b)
-            ns.append(c)
-            payloads.extend(d)
-        return (np.concatenate(t0s), np.concatenate(v0s),
-                np.concatenate(ns), payloads)
+    t0s, v0s, ns, payloads = [], [], [], []
+    for s in range(0, max(rows, 1), chunk_rows):
+        a, b, c, buf, off = _encode_chunk(ts2d[s:s + chunk_rows],
+                                          vals2d[s:s + chunk_rows])
+        t0s.append(a)
+        v0s.append(b)
+        ns.append(c)
+        payloads.extend(buf[off[i]:off[i + 1]] for i in range(len(c)))
+    return (np.concatenate(t0s), np.concatenate(v0s),
+            np.concatenate(ns), payloads)
+
+
+def encode_batch_arrow(ts2d: np.ndarray, vals2d: np.ndarray,
+                       chunk_rows: int = 1024):
+    """Like :func:`encode_batch` but returns the payload column as ONE
+    Arrow BinaryArray built zero-copy from the packed buffer + offsets
+    (guide §4.2: a binary column is a data buffer plus offsets, so no
+    per-row Python bytes objects and no ``pa.array(list)`` re-serialize
+    — the dominant constant cost at millions of blocks per task)."""
+    import pyarrow as pa
+
+    ts2d = np.asarray(ts2d, dtype=np.int64)
+    vals2d = np.asarray(vals2d, dtype=np.int64)
+    rows = vals2d.shape[0]
+    t0s, v0s, ns, arrays = [], [], [], []
+    for s in range(0, max(rows, 1), chunk_rows):
+        a, b, c, buf, off = _encode_chunk(ts2d[s:s + chunk_rows],
+                                          vals2d[s:s + chunk_rows])
+        t0s.append(a)
+        v0s.append(b)
+        ns.append(c)
+        arrays.append(pa.Array.from_buffers(
+            pa.binary(), len(c),
+            [None, pa.py_buffer(np.ascontiguousarray(
+                off.astype(np.int32)).tobytes()), pa.py_buffer(buf)]))
+    payload = arrays[0] if len(arrays) == 1 else pa.concat_arrays(arrays)
+    return (np.concatenate(t0s), np.concatenate(v0s),
+            np.concatenate(ns), payload)
+
+
+def _encode_chunk(ts2d: np.ndarray, vals2d: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray, bytes,
+                             np.ndarray]:
+    """Encode one chunk of rows; returns (t0, v0, n, packed buffer,
+    per-row byte offsets (len rows+1)).
+
+    Entirely vectorized: classifies every point's field widths, computes
+    exact per-point bit offsets, scatters field bits into one
+    byte-aligned flat bit array, and packs with a single
+    ``np.packbits``.
+    """
+    rows = vals2d.shape[0]
     t = vals2d.shape[1]
     t0 = ts2d[:, 0].copy()
     v0 = vals2d[:, 0].copy()
     n = np.full(rows, t, dtype=np.int64)
     if t == 1:
-        return t0, v0, n, [b""] * rows
+        return t0, v0, n, b"", np.zeros(rows + 1, dtype=np.int64)
 
     # --- timestamp dod fields ---
     deltas = np.diff(ts2d, axis=1)                       # (rows, t-1)
@@ -198,8 +234,7 @@ def encode_batch(ts2d: np.ndarray, vals2d: np.ndarray, chunk_rows: int = 1024
         write_var(nz, vstart + 13, sig, siglen)
 
     buf = np.packbits(out).tobytes()
-    payloads = [buf[byte_offsets[i]:byte_offsets[i + 1]] for i in range(rows)]
-    return t0, v0, n, payloads
+    return t0, v0, n, buf, byte_offsets
 
 
 def decode_batch(t0: np.ndarray, v0: np.ndarray, n: np.ndarray,

@@ -164,6 +164,11 @@ def _decode_lut(bits: list[int], vals: list[int]) -> list:
     key = (tuple(bits), tuple(vals))
     lut = _LUT_CACHE.get(key)
     if lut is None:
+        if len(_LUT_CACHE) >= 64:
+            # bound the cache (~1 MB/entry): evict oldest — a long-lived
+            # executor decoding many distinct optimized-Huffman streams
+            # must not grow without limit
+            _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
         lut = [None] * 65536
         code, k = 0, 0
         for ln in range(1, 17):
@@ -473,11 +478,21 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     scan_comps = None
     scan_start = None
 
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede the
+        # marker id (real muxers emit them); skip to the last 0xFF
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers (TEM, RSTn outside a scan): no length
+            pos += 2
+            continue
+        if pos + 4 > len(data):
             break
         (size,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4:pos + 2 + size]

@@ -222,7 +222,16 @@ def bpe_tokens_table(df: DataFrame, merges: list[tuple[str, str]],
     vocabulary broadcast or join, so this stays one narrow pass).
     The ids feed rollup/compression exactly like pre-tokenized
     input — the end-to-end ingest bridge from a document corpus to
-    the retention tiers. Zero shuffle: one mapInPandas (source
+    the retention tiers.
+
+    Trade-off: the hash fold means distinct subwords CAN collide onto
+    one id (birthday bound: ~0.25% collision probability among 10^5
+    distinct subwords over a 2e9 space; expected colliding pairs
+    ~ V^2 / 4e9). That is fine for feeding the rollup/compression
+    tiers (ids are opaque stream values there) but LOSSY if the ids
+    are treated as a real vocabulary — for vocabulary-faithful ids,
+    build a dense mapping from :func:`bpe_vocab` (rank = id) and join
+    or broadcast it instead. Zero shuffle: one mapInPandas (source
     carried through, no join) followed by JVM-side
     transform/xxhash64 expressions."""
     src = (df.select(F.col(id_col).cast("string").alias("doc_id"),

@@ -50,6 +50,14 @@ TOKENS_ARROW = pa.schema([
 ])
 
 
+def _const_str(value: str, n: int) -> pa.Array:
+    """Constant string column of length n without building n Python
+    objects (dictionary-encode then cast)."""
+    return pa.DictionaryArray.from_arrays(
+        pa.array(np.zeros(n, dtype=np.int32)),
+        pa.array([value])).cast(pa.string())
+
+
 def _list_to_matrix(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """ListArray -> (flat values, offsets); caller reshapes when the
     batch is rectangular."""
@@ -87,7 +95,8 @@ def compress_tokens(tokens_df: DataFrame, tier: str = "1m") -> DataFrame:
                     e = min(s + day_pts, int(nt))
                     ts = (EPOCH_SECONDS + (np.arange(s, e, dtype=np.int64) * 60))
                     ts2d = np.broadcast_to(ts, (len(idx), e - s))
-                    t0a, v0a, na, payloads = gorilla.encode_batch(ts2d, vals[:, s:e])
+                    t0a, v0a, na, payloads = gorilla.encode_batch_arrow(
+                        ts2d, vals[:, s:e])
                     out_cols["take"].append(idx)
                     out_cols["bucket_day"].append(
                         np.full(len(idx), (EPOCH_SECONDS + s * 60) // 86400, dtype=np.int32))
@@ -96,18 +105,20 @@ def compress_tokens(tokens_df: DataFrame, tier: str = "1m") -> DataFrame:
                     out_cols["n"].append(na.astype(np.int32))
                     out_cols["payload"].append(payloads)
             take = pa.array(np.concatenate(out_cols["take"]), type=pa.int64())
-            payloads_all: list[bytes] = []
-            for p in out_cols["payload"]:
-                payloads_all.extend(p)
+            pay = (out_cols["payload"][0] if len(out_cols["payload"]) == 1
+                   else pa.concat_arrays(out_cols["payload"]))
+            tier_col = pa.DictionaryArray.from_arrays(
+                pa.array(np.zeros(len(take), dtype=np.int32)),
+                pa.array(["1m"])).cast(pa.string())
             yield pa.RecordBatch.from_arrays([
                 c_doc.take(take),
                 c_src.take(take),
-                pa.array(["1m"] * len(take), type=pa.string()),
+                tier_col,
                 pa.array(np.concatenate(out_cols["bucket_day"]), type=pa.date32()),
                 pa.array(np.concatenate(out_cols["t0"]), type=pa.int64()),
                 pa.array(np.concatenate(out_cols["v0"]), type=pa.int64()),
                 pa.array(np.concatenate(out_cols["n"]), type=pa.int32()),
-                pa.array(payloads_all, type=pa.binary()),
+                pay,
             ], schema=_ARROW_BLOCKS)
 
     return tokens_df.mapInArrow(fn, BLOCKS_SCHEMA)
@@ -184,12 +195,12 @@ def compress_and_cascade(tokens_df: DataFrame,
                     e = min(s + day_pts, int(nt))
                     ts = EPOCH_SECONDS + np.arange(s, e, dtype=np.int64) * 60
                     ts2d = np.broadcast_to(ts, (len(idx), e - s))
-                    t0a, v0a, na, payloads = gorilla.encode_batch(
+                    t0a, v0a, na, payloads = gorilla.encode_batch_arrow(
                         ts2d, vals[:, s:e])
                     take = pa.array(idx, type=pa.int64())
                     m = len(idx)
                     yield pa.RecordBatch.from_arrays([
-                        pa.array(["block"] * m), c_doc.take(take),
+                        _const_str("block", m), c_doc.take(take),
                         c_src.take(take),
                         pa.array(np.full(
                             m, (EPOCH_SECONDS + s * 60) // 86400,
@@ -197,7 +208,7 @@ def compress_and_cascade(tokens_df: DataFrame,
                         pa.array(t0a, type=pa.int64()),
                         pa.array(v0a, type=pa.int64()),
                         pa.array(na.astype(np.int32), type=pa.int32()),
-                        pa.array(list(payloads), type=pa.binary()),
+                        payloads,
                         _nulls(pa.string(), m), _nulls(pa.int64(), m),
                         _nulls(pa.int64(), m), _nulls(pa.int64(), m),
                         _nulls(pa.int64(), m), _nulls(pa.int64(), m),
@@ -213,20 +224,16 @@ def compress_and_cascade(tokens_df: DataFrame,
                     take = pa.array(idx[rr], type=pa.int64())
                     m = len(rr)
                     yield pa.RecordBatch.from_arrays([
-                        pa.array(["tier"] * m), c_doc.take(take),
+                        _const_str("tier", m), c_doc.take(take),
                         c_src.take(take),
                         _nulls(pa.date32(), m), _nulls(pa.int64(), m),
                         _nulls(pa.int64(), m), _nulls(pa.int32(), m),
                         _nulls(pa.binary(), m),
-                        pa.array([tier] * m),
+                        _const_str(tier, m),
                         pa.array(EPOCH_SECONDS + bb.astype(np.int64, copy=False) * mins * 60),
-                        pa.array(cnt[rr, bb].astype(np.int64, copy=False)),
-                        pa.array(sm[rr, bb].astype(np.int64, copy=False)),
-                        pa.array(mn[rr, bb].astype(np.int64, copy=False)),
-                        pa.array(mx[rr, bb].astype(np.int64, copy=False)),
-                        pa.array(first[rr, bb].astype(np.int64, copy=False)),
-                        pa.array(last[rr, bb].astype(np.int64, copy=False)),
-                        pa.array(nfil[rr, bb].astype(np.int64, copy=False)),
+                        pa.array(cnt), pa.array(sm), pa.array(mn),
+                        pa.array(mx), pa.array(first), pa.array(last),
+                        pa.array(nfil),
                     ], schema=fused_arrow)
 
     return tokens_df.mapInArrow(fn, FUSED_SCHEMA)

@@ -51,6 +51,11 @@ def moment_sums(df: DataFrame, vec_col: str = "embedding",
 
     def fn(batches):
         for pdf in batches:
+            if pdf.empty:
+                continue
+            if pdf[vec_col].isnull().any():
+                raise ValueError(
+                    f"moment_sums: null {vec_col!r} vector in input batch")
             x = np.stack([np.asarray(v, dtype=np.float64)
                           for v in pdf[vec_col]])
             part = np.concatenate(
@@ -104,6 +109,11 @@ def pca_project(df: DataFrame, model: dict,
 
     def fn(batches):
         for pdf in batches:
+            if pdf.empty:
+                continue
+            if pdf[vec_col].isnull().any():
+                raise ValueError(
+                    f"pca_project: null {vec_col!r} vector in input batch")
             x = np.stack([np.asarray(v, dtype=np.float64)
                           for v in pdf[vec_col]])
             proj = (x - mean) @ comps.T

@@ -178,13 +178,21 @@ def rollup_next(tier_df: DataFrame, from_tier: str, to_tier: str,
     )
 
 
-def cascade(tokens_df: DataFrame, tiers: tuple[str, ...] = ("1m", "1h", "1d"),
-            partitions: int | None = None) -> dict[str, DataFrame]:
-    """tokens table -> {tier: rollup DataFrame}, single shuffle total.
+def cascade_declarative(tokens_df: DataFrame,
+                        tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+                        partitions: int | None = None) -> dict[str, DataFrame]:
+    """tokens table -> {tier: rollup DataFrame} via the declarative
+    long-form plan (posexplode -> LOCF window -> chained groupBys),
+    single shuffle total: the upfront repartition on (source, doc_id)
+    co-locates each series; the LOCF window and every tier groupBy then
+    reuse that exchange.
 
-    The upfront repartition on (source, doc_id) co-locates each series;
-    the LOCF window and every tier groupBy then reuse that exchange.
-    """
+    This is the INDEPENDENT implementation kept for parity certificates
+    (it shares no kernel with the mapInArrow paths). :func:`cascade` is
+    the production entry point — same results, zero shuffles, no
+    144-points-per-series explode (guide §2.4: at 10^12 sequences the
+    explode+sort+window over every point, and the 1m hash aggregate
+    with one group per point, dwarf the array-local computation)."""
     if partitions is not None:
         tokens_df = tokens_df.repartition(partitions, "source", "doc_id")
     else:
@@ -198,6 +206,94 @@ def cascade(tokens_df: DataFrame, tiers: tuple[str, ...] = ("1m", "1h", "1d"),
         else:
             out[tier] = rollup_next(out[prev_tier], prev_tier, tier)
         prev_tier = tier
+    return out
+
+
+_TIER_RAW_SCHEMA = T.StructType([
+    T.StructField("source", T.StringType(), False),
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("bucket_s", T.LongType(), False),  # epoch seconds
+    T.StructField("cnt", T.LongType(), True),
+    T.StructField("sum", T.LongType(), True),
+    T.StructField("min", T.LongType(), True),
+    T.StructField("max", T.LongType(), True),
+    T.StructField("first", T.LongType(), True),
+    T.StructField("last", T.LongType(), True),
+    T.StructField("n_filled", T.LongType(), True),
+])
+
+
+def _tier_from_tokens(tokens_df: DataFrame, tier: str) -> DataFrame:
+    """ONE tier of the cascade straight from the token arrays: a
+    zero-shuffle mapInArrow pass running the same LOCF + bucket-reduce
+    kernels as :func:`cascade_fast` (whose equality to the declarative
+    plan and to the DuckDB oracle is pytest-pinned), emitting the
+    long-form tier schema with ``bucket_s`` as epoch seconds."""
+    import pyarrow as pa
+
+    mins = TIERS[tier]
+    arrow_schema = pa.schema([
+        ("source", pa.string()), ("doc_id", pa.string()),
+        ("bucket_s", pa.int64()), ("cnt", pa.int64()), ("sum", pa.int64()),
+        ("min", pa.int64()), ("max", pa.int64()), ("first", pa.int64()),
+        ("last", pa.int64()), ("n_filled", pa.int64()),
+    ])
+
+    def run(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            names = rb.schema.names
+            c_doc = rb.column(names.index("doc_id"))
+            c_src = rb.column(names.index("source"))
+            n_tok = rb.column(names.index("n_tok")).to_numpy()
+            col = rb.column(names.index("tokens"))
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            offsets = col.offsets.to_numpy()
+            flat = col.values.to_numpy(zero_copy_only=False)
+            for nt in np.unique(n_tok):
+                idx = np.nonzero(n_tok == nt)[0]
+                vals = rows_matrix(flat, offsets, idx, int(nt))
+                filled, fmask = _locf_2d(vals)
+                rr, bb, cnt, s, mn, mx, first, last, nfil = _tier_reduce(
+                    filled, fmask, mins)
+                take = pa.array(idx[rr], type=pa.int64())
+                yield pa.RecordBatch.from_arrays([
+                    c_src.take(take),
+                    c_doc.take(take),
+                    pa.array(EPOCH_SECONDS + bb.astype(np.int64, copy=False) * mins * 60),
+                    pa.array(cnt), pa.array(s), pa.array(mn),
+                    pa.array(mx), pa.array(first), pa.array(last),
+                    pa.array(nfil),
+                ], schema=arrow_schema)
+
+    return tokens_df.mapInArrow(run, _TIER_RAW_SCHEMA)
+
+
+def cascade(tokens_df: DataFrame, tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+            partitions: int | None = None) -> dict[str, DataFrame]:
+    """tokens table -> {tier: rollup DataFrame}, ZERO shuffles.
+
+    Each input row carries its whole series, so every tier is computed
+    array-locally in one narrow mapInArrow pass per tier — no explode,
+    no window sort, no per-point hash aggregate, no Exchange (guide
+    §2.4/§4.2). Results are identical to :func:`cascade_declarative`
+    (pytest-pinned, and each tier equals the DuckDB long-form oracle);
+    materializing only the 1d tier no longer pays for the 1m tier.
+
+    ``partitions`` is honoured for layout compatibility (callers that
+    want a specific output partitioning) but is no longer needed for
+    correctness or plan shape.
+    """
+    if partitions is not None:
+        tokens_df = tokens_df.repartition(partitions, "source", "doc_id")
+    out: dict[str, DataFrame] = {}
+    for tier in tiers:
+        out[tier] = _tier_from_tokens(tokens_df, tier).select(
+            "source", "doc_id",
+            F.timestamp_seconds("bucket_s").alias("bucket"),
+            "cnt", "sum", "min", "max", "first", "last", "n_filled")
     return out
 
 
@@ -243,24 +339,39 @@ def rows_matrix(flat: np.ndarray, offsets: np.ndarray, idx: np.ndarray,
 
 def _locf_2d(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized row-wise LOCF. -1 is the gap sentinel. Returns
-    (filled float matrix with NaN for leading gaps, filled-mask)."""
+    (filled float matrix with NaN for leading gaps, filled-mask).
+
+    Rows without any gap (the overwhelming majority on real corpora)
+    skip the carry machinery entirely: the gather/cumsum passes run
+    only over the gapped-row subset, so the common case is one float
+    cast plus one boolean reduction over the matrix."""
     x = vals.astype(np.float64)
     miss = vals == -1
-    x[miss] = np.nan
-    idx = np.where(~miss, np.arange(x.shape[1])[None, :], 0)
+    rowmiss = np.nonzero(miss.any(axis=1))[0]
+    filled_mask = np.zeros(vals.shape, dtype=bool)
+    if len(rowmiss) == 0:
+        return x, filled_mask
+    xs = x[rowmiss]
+    ms = miss[rowmiss]
+    idx = np.where(~ms, np.arange(xs.shape[1])[None, :], 0)
     np.maximum.accumulate(idx, axis=1, out=idx)
-    carried = x[np.arange(x.shape[0])[:, None], idx]
+    carried = xs[np.arange(xs.shape[0])[:, None], idx]
     # rows whose first value was a gap: positions before the first
     # observation keep NaN
-    lead = miss & (np.cumsum(~miss, axis=1) == 0)
+    lead = ms & (np.cumsum(~ms, axis=1) == 0)
     carried[lead] = np.nan
-    filled_mask = miss & ~lead
-    return carried, filled_mask
+    x[rowmiss] = carried
+    filled_mask[rowmiss] = ms & ~lead
+    return x, filled_mask
 
 
 def _tier_reduce(filled: np.ndarray, fmask: np.ndarray, mins: int):
-    """(rows, T) LOCF'd matrix -> per-bucket (cnt,sum,min,max,first,
-    last,n_filled) arrays + (row, bucket) indices of non-empty buckets.
+    """(rows, T) LOCF'd matrix -> FLAT per-bucket aggregate vectors
+    ``(rr, bb, cnt, sum, min, max, first, last, n_filled)`` over the
+    non-empty (row, bucket) pairs only, already int64 (one gather per
+    column here instead of one per consumer; the 1m tier shares ONE
+    value gather across sum/min/max/first/last, which are all the
+    point itself).
 
     ``mins`` is clamped to the row length: a 1440-minute bucket over a
     144-point series is ONE bucket of 144 points (bucket index =
@@ -272,10 +383,11 @@ def _tier_reduce(filled: np.ndarray, fmask: np.ndarray, mins: int):
         # 1m tier: every point is its own bucket — all aggregates are
         # the point itself; skip the (rows, t, 1) reshape reductions
         obs = ~np.isnan(filled)
-        cnt = obs.astype(np.int64)
-        nfil = fmask.astype(np.int64)
         rr, bb = np.nonzero(obs)
-        return rr, bb, cnt, filled, filled, filled, filled, filled, nfil
+        v = filled[rr, bb].astype(np.int64)
+        cnt = np.ones(len(rr), dtype=np.int64)
+        nfil = fmask[rr, bb].astype(np.int64)
+        return rr, bb, cnt, v, v, v, v, v, nfil
     mins = min(mins, t)
     nb = int(np.ceil(t / mins))
     pad = nb * mins - t
@@ -300,7 +412,11 @@ def _tier_reduce(filled: np.ndarray, fmask: np.ndarray, mins: int):
     last = r[ri, bi, last_idx]
     nfil = rm.sum(axis=2)
     rr, bb = np.nonzero(cnt > 0)
-    return rr, bb, cnt, s, mn, mx, first, last, nfil
+    return (rr, bb, cnt[rr, bb],
+            s[rr, bb].astype(np.int64),
+            mn[rr, bb].astype(np.int64), mx[rr, bb].astype(np.int64),
+            first[rr, bb].astype(np.int64), last[rr, bb].astype(np.int64),
+            nfil[rr, bb])
 
 
 def cascade_fast(tokens_df: DataFrame,
@@ -351,13 +467,9 @@ def cascade_fast(tokens_df: DataFrame,
                         c_src.take(take),
                         c_doc.take(take),
                         pa.array(EPOCH_SECONDS + bb.astype(np.int64, copy=False) * mins * 60),
-                        pa.array(cnt[rr, bb].astype(np.int64, copy=False)),
-                        pa.array(s[rr, bb].astype(np.int64, copy=False)),
-                        pa.array(mn[rr, bb].astype(np.int64, copy=False)),
-                        pa.array(mx[rr, bb].astype(np.int64, copy=False)),
-                        pa.array(first[rr, bb].astype(np.int64, copy=False)),
-                        pa.array(last[rr, bb].astype(np.int64, copy=False)),
-                        pa.array(nfil[rr, bb].astype(np.int64, copy=False)),
+                        pa.array(cnt), pa.array(s), pa.array(mn),
+                        pa.array(mx), pa.array(first), pa.array(last),
+                        pa.array(nfil),
                     ], schema=arrow_schema)
 
     return tokens_df.mapInArrow(run, _FAST_SCHEMA)
@@ -421,12 +533,16 @@ def events_gapfill(events_df: DataFrame, tier_seconds: int,
         .groupBy(F.col(series_col).alias("series"), bucket.alias("bucket"))
         .agg(F.sum(value_col).alias("value"))
     )
-    bounds = events_df.agg(
-        (F.floor(F.min(F.unix_timestamp(ts_col)) / tier_seconds) * tier_seconds).alias("lo"),
-        (F.floor(F.max(F.unix_timestamp(ts_col)) / tier_seconds) * tier_seconds).alias("hi"),
-    )
+    # bounds and the series set derive from `actual`, not from a
+    # re-scan of the raw events: floor is monotone so min/max of the
+    # bucketized values equal the bucketized min/max, and every series
+    # has >= 1 event hence >= 1 bucket. Catalyst then REUSES the one
+    # aggregation exchange for all three subtrees (guide §2.4) — one
+    # scan of the events table instead of three.
+    bounds = actual.agg(F.min("bucket").alias("lo"),
+                        F.max("bucket").alias("hi"))
     spine = (
-        events_df.select(F.col(series_col).alias("series")).distinct()
+        actual.select("series").distinct()
         .crossJoin(F.broadcast(bounds))
         .select("series", F.explode(
             F.sequence(F.col("lo"), F.col("hi"), F.lit(tier_seconds))).alias("bucket"))
@@ -453,12 +569,12 @@ def events_gapfill_interp(events_df: DataFrame, tier_seconds: int,
         .groupBy(F.col(series_col).alias("series"), bucket.alias("bucket"))
         .agg(F.sum(value_col).alias("value"))
     )
-    bounds = events_df.agg(
-        (F.floor(F.min(F.unix_timestamp(ts_col)) / tier_seconds) * tier_seconds).alias("lo"),
-        (F.floor(F.max(F.unix_timestamp(ts_col)) / tier_seconds) * tier_seconds).alias("hi"),
-    )
+    # one scan of events: bounds/series derive from `actual` (see
+    # events_gapfill) and share its aggregation exchange
+    bounds = actual.agg(F.min("bucket").alias("lo"),
+                        F.max("bucket").alias("hi"))
     spine = (
-        events_df.select(F.col(series_col).alias("series")).distinct()
+        actual.select("series").distinct()
         .crossJoin(F.broadcast(bounds))
         .select("series", F.explode(
             F.sequence(F.col("lo"), F.col("hi"), F.lit(tier_seconds))).alias("bucket"))

@@ -86,13 +86,32 @@ def test_fast_path_matches_duckdb(tokens, tokens_pdf, tier):
 
 
 def test_long_form_cascade_matches_fast(spark, tokens):
-    tiers = R.cascade(tokens)
+    """The INDEPENDENT declarative plan (posexplode -> window -> groupBy,
+    no shared kernel) must match the mapInArrow fast path."""
+    tiers = R.cascade_declarative(tokens)
     fast = R.cascade_fast(tokens).toPandas()
     for tier in ("1m", "1h", "1d"):
         longf = tiers[tier].toPandas()
         longf["bucket"] = longf["bucket"].astype("datetime64[ns]").astype("int64") // 10**9
         ff = fast[fast["tier"] == tier].drop(columns=["tier"])
         pd.testing.assert_frame_equal(_norm(ff), _norm(longf), check_dtype=False)
+
+
+def test_cascade_matches_declarative(spark, tokens):
+    """The production cascade() (kernel-based, zero shuffle) must equal
+    the declarative long-form implementation tier by tier: same columns,
+    same rows, same values — the r06 optimization must not change what
+    the operator computes."""
+    kern = R.cascade(tokens)
+    decl = R.cascade_declarative(tokens)
+    for tier in ("1m", "1h", "1d"):
+        k = kern[tier].toPandas()
+        d = decl[tier].toPandas()
+        assert list(k.columns) == list(d.columns)
+        for df in (k, d):
+            df["bucket"] = (df["bucket"].astype("datetime64[ns]")
+                            .astype("int64") // 10**9)
+        pd.testing.assert_frame_equal(_norm(k), _norm(d), check_dtype=False)
 
 
 def test_reaggregation_invariants(spark, tokens):
@@ -126,12 +145,21 @@ def test_locf_properties():
 
 
 def test_single_shuffle_plan(spark, tokens):
-    """The whole long-form cascade must contain exactly one Exchange:
-    the upfront repartition on (source, doc_id)."""
-    tiers = R.cascade(tokens)
+    """The declarative long-form cascade must contain exactly one
+    Exchange: the upfront repartition on (source, doc_id)."""
+    tiers = R.cascade_declarative(tokens)
     plan = tiers["1d"]._jdf.queryExecution().executedPlan().toString()
     n_exchanges = plan.count("Exchange")
     assert n_exchanges == 1, plan
+
+
+def test_cascade_zero_shuffle_plan(spark, tokens):
+    """The production cascade() must contain NO Exchange at all for any
+    tier: each tier is one narrow mapInArrow over the scan."""
+    tiers = R.cascade(tokens)
+    for tier in ("1m", "1h", "1d"):
+        plan = tiers[tier]._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, plan
 
 
 def test_retention():

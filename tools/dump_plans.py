@@ -63,9 +63,20 @@ def main() -> None:
 
     d1 = R.cascade(tokens)["1d"]
     p = plan_of(d1)
-    n_ex = count(p, "Exchange")
-    ok &= add("longform cascade 1d — exactly ONE shuffle for explode->LOCF->1m->1h->1d",
+    ok &= add("cascade 1d (production, r6) — ZERO shuffle, kernel tier pass",
               d1,
+              [("no Exchange in the plan", count(p, "Exchange") == 0),
+               ("no Sort / Window / Generate (no explode-and-window)",
+                count(p, "Sort|Window|Generate") == 0),
+               ("one Arrow eval over the scan",
+                count(p, "MapInArrow|ArrowEval|PythonMapInArrow") >= 1)],
+              lambda s: s[:1200])
+
+    d1d = R.cascade_declarative(tokens)["1d"]
+    p = plan_of(d1d)
+    n_ex = count(p, "Exchange")
+    ok &= add("declarative cascade 1d — exactly ONE shuffle for explode->LOCF->1m->1h->1d",
+              d1d,
               [(f"exactly 1 Exchange (found {n_ex}; AQE reuse counts once)",
                 n_ex <= 2),
                ("window + all tier aggregates reuse the same partitioning",
