@@ -74,6 +74,13 @@ def main() -> None:
         # the tokens table itself (no kernel work at all)
         "tokens_identity_arrow": lambda: noop(
             tokens.mapInArrow(lambda it: it, tokens.schema)),
+        # multi-partition timings bench.py lacks (VERDICT r5 #5):
+        # the exact Jaccard self-join over the sf documents table, and
+        # MJPG decode through the distributed media operator
+        "jaccard_ngram_join_noop": lambda: noop(
+            E.q_jaccard_ngram_join(spark, sf_dir)),
+        "media_features_mjpg_noop": lambda: noop(
+            E.q_media_features_mjpg(spark, sf_dir)),
         "events_rollup_1h_noop": lambda: noop(E.q_rollup_1h_events(spark, sf_dir)),
         "events_gapfill_noop": lambda: noop(E.q_gapfill_locf_events(spark, sf_dir)),
         "envelope_groups_noop": lambda: noop(E.q_envelope_groups(spark, sf_dir)),

@@ -141,9 +141,11 @@ def _encode_chunk(ts2d: np.ndarray, vals2d: np.ndarray
     per-row byte offsets (len rows+1)).
 
     Entirely vectorized: classifies every point's field widths, computes
-    exact per-point bit offsets, scatters field bits into one
-    byte-aligned flat bit array, and packs with a single
-    ``np.packbits``.
+    exact per-point bit offsets, then assembles each FIELD as a uint64
+    and scatter-ORs it into a big-endian word stream
+    (``np.bitwise_or.at`` handles fields of different points landing in
+    the same word) — a handful of word passes per field instead of one
+    pass per BIT of the old bit-matrix scatter (~1.6x on token walks).
     """
     rows = vals2d.shape[0]
     t = vals2d.shape[1]
@@ -188,52 +190,54 @@ def _encode_chunk(ts2d: np.ndarray, vals2d: np.ndarray
     byte_offsets = np.concatenate([[0], np.cumsum(row_bytes)])
     row_start = byte_offsets[:-1] * 8
     pt_start = row_start[:, None] + (np.cumsum(ptlen, axis=1) - ptlen)
-    out = np.zeros(int(byte_offsets[-1]) * 8, dtype=np.uint8)
 
-    one = np.uint64(1)
+    total_bytes = int(byte_offsets[-1])
+    # +2 spare words: a field whose tail crosses the last used byte's
+    # word may touch word w+1
+    words = np.zeros((total_bytes + 7) // 8 + 2, dtype=np.uint64)
 
-    def write_const(mask: np.ndarray, start: np.ndarray, values: np.ndarray,
-                    nbits: int) -> None:
-        """MSB-first write of a fixed-width field for masked points."""
-        s = start[mask]
-        v = values[mask].astype(np.uint64)
-        for j in range(nbits):
-            out[s + j] = ((v >> np.uint64(nbits - 1 - j)) & one).astype(np.uint8)
+    def put(pos: np.ndarray, v: np.ndarray, nb) -> None:
+        """Scatter-OR ``nb``-bit fields ``v`` (uint64, flat) at absolute
+        bit positions ``pos``. Stream bit b lives at word b>>6, bit
+        63-(b&63) (big-endian words)."""
+        w = pos >> 6
+        o = (pos & 63).astype(np.int64)
+        sh = np.int64(64) - o - nb                     # may be negative
+        fits = sh >= 0
+        hi = np.where(fits, v << np.where(fits, sh, 0).astype(np.uint64),
+                      v >> np.where(fits, 0, -sh).astype(np.uint64))
+        np.bitwise_or.at(words, w, hi)
+        spill = ~fits
+        if spill.any():
+            lo = v[spill] << (np.int64(64) + sh[spill]).astype(np.uint64)
+            np.bitwise_or.at(words, w[spill] + 1, lo)
 
-    def write_var(mask: np.ndarray, start: np.ndarray, values: np.ndarray,
-                  nbits: np.ndarray) -> None:
-        """MSB-first write of a variable-width field."""
-        s = start[mask]
-        v = values[mask].astype(np.uint64)
-        nb = nbits[mask]
-        for j in range(int(nb.max()) if len(nb) else 0):
-            sel = nb > j
-            out[s[sel] + j] = ((v[sel] >> (nb[sel] - 1 - j).astype(np.uint64)) & one).astype(np.uint8)
+    # timestamps: ctrl+payload combined into one field (<= 16 bits for
+    # branches 0-3; branch 4 = 4+64 bits, written as two fields)
+    enc_pay = np.where(branch < 4, (dod - lo_tab[branch]).astype(np.uint64),
+                       dod.view(np.uint64))
+    ts_field = ((ctrl_val_tab[branch] << payn.astype(np.uint64))
+                | np.where(payn > 0, enc_pay, np.uint64(0)))
+    b4 = branch == 4
+    m = ~b4
+    put(pt_start[m], ts_field[m], (ctrln + payn)[m])
+    if b4.any():
+        k = int(b4.sum())
+        put(pt_start[b4], np.full(k, 0b1111, dtype=np.uint64),
+            np.full(k, 4, dtype=np.int64))
+        put(pt_start[b4] + 4, enc_pay[b4], np.full(k, 64, dtype=np.int64))
 
-    # timestamps: control + payload per branch
-    for b in range(5):
-        m = branch == b
-        if not m.any():
-            continue
-        write_const(m, pt_start, np.broadcast_to(ctrl_val_tab[b], dod.shape),
-                    int(ctrl_tab[b]))
-        pn = int(pay_tab[b])
-        if pn:
-            if b < 4:
-                enc = (dod - lo_tab[b]).astype(np.uint64)  # offset encoding
-            else:
-                enc = dod.view(np.uint64)
-            write_const(m, pt_start + ctrln, enc, pn)
-
-    # values: flag, then (lz, siglen-1, sig) for non-zero xors
+    # values: flag(1) [+ lz(6) + (siglen-1)(6)] as one header field,
+    # then sig as its own field
     vstart = pt_start + ctrln + payn
-    write_const(np.ones_like(nz), vstart, nz.astype(np.uint64), 1)
+    hdr = np.where(nz, (np.uint64(1) << np.uint64(12))
+                   | (lz.astype(np.uint64) << np.uint64(6))
+                   | (siglen - 1).astype(np.uint64), np.uint64(0))
+    put(vstart.ravel(), hdr.ravel(), np.where(nz, 13, 1).ravel())
     if nz.any():
-        write_const(nz, vstart + 1, lz.astype(np.uint64), 6)
-        write_const(nz, vstart + 7, (siglen - 1).astype(np.uint64), 6)
-        write_var(nz, vstart + 13, sig, siglen)
+        put((vstart + 13)[nz], sig[nz], siglen[nz])
 
-    buf = np.packbits(out).tobytes()
+    buf = words.byteswap().tobytes()[:total_bytes]
     return t0, v0, n, buf, byte_offsets
 
 

@@ -462,17 +462,16 @@ def _read_huff(br: _BitReader, lut: list) -> int:
     return sym
 
 
-def jpeg_decode(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to uint8: (H, W, 3) RGB for 3-component
-    scans, (H, W) for grayscale.  Supports SOF0/SOF1, sampling factors
-    in {1, 2}, restart markers, 8/16-bit DQT, and the MJPG missing-DHT
-    convention (Annex-K tables assumed).  Progressive / arithmetic /
-    12-bit inputs raise ``NotImplementedError``."""
+def _parse_jpeg(data: bytes) -> dict:
+    """Parse markers + split the entropy scan of a baseline JPEG.
+    Returns a meta dict consumed by the serial and lockstep entropy
+    decoders; raises ``NotImplementedError``/``ValueError`` exactly
+    like the former monolithic decoder."""
     if len(data) < 4 or data[0:2] != b"\xFF\xD8":
         raise NotImplementedError("not a JPEG payload (no SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
-    htabs: dict[tuple[int, int], dict] = {}
+    htabs_raw: dict[tuple[int, int], tuple] = {}
     restart = 0
     frame = None  # (h, w, [(cid, hi, vi, tq)])
     scan_comps = None
@@ -518,7 +517,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 bits = list(body[b + 1:b + 17])
                 n = sum(bits)
                 vals = list(body[b + 17:b + 17 + n])
-                htabs[(cls, tid)] = _decode_lut(bits, vals)
+                htabs_raw[(cls, tid)] = (bits, vals)
                 b += 17 + n
         elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
@@ -549,27 +548,34 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         raise NotImplementedError("no baseline frame/scan found")
     h, w, comps = frame
 
-    # Entropy segment: unstuff 0xFF00, split on RSTn, stop at other marker
-    segments: list[bytes] = []
-    cur = bytearray()
-    p = scan_start
-    while p < len(data):
-        b = data[p]
-        if b == 0xFF and p + 1 < len(data):
-            nxt = data[p + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                p += 2
-                continue
-            break  # EOI or next marker
-        cur.append(b)
-        p += 1
-    segments.append(bytes(cur))
+    # Entropy segment: unstuff 0xFF00, split on RSTn, stop at other
+    # marker. Vectorized: only 0xFF positions are visited in Python
+    # (stuffing/markers are rare); the byte compaction is one boolean
+    # take instead of a per-byte bytearray walk.
+    arr = np.frombuffer(data, dtype=np.uint8)[scan_start:]
+    ff = np.nonzero(arr[:-1] == 0xFF)[0]
+    nxts = arr[ff + 1] if len(ff) else arr[:0]
+    keep = np.ones(len(arr), dtype=bool)
+    seg_marks: list[int] = []
+    end = len(arr)
+    for p, nx in zip(ff.tolist(), nxts.tolist()):
+        if nx == 0x00:
+            keep[p + 1] = False       # stuffed zero: emit FF, drop 00
+        elif 0xD0 <= nx <= 0xD7:
+            seg_marks.append(p)       # RSTn: segment boundary
+            keep[p] = False
+            keep[p + 1] = False
+        else:
+            end = p                   # EOI or next marker: stop
+            keep[p:] = False
+            break
+    if end < len(arr):
+        seg_marks = [m for m in seg_marks if m < end]
+    csum = np.cumsum(keep)
+    packed = arr[keep].tobytes()
+    starts = [0] + [int(csum[m]) for m in seg_marks]
+    stops = starts[1:] + [len(packed)]
+    segments = [packed[a:b] for a, b in zip(starts, stops)]
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -578,39 +584,63 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             f"sampling factors up to 2 supported (got {hmax}x{vmax})")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    return {"h": h, "w": w, "comps": comps, "qtabs": qtabs,
+            "htabs_raw": htabs_raw, "restart": restart,
+            "scan_comps": scan_comps, "segments": segments,
+            "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy}
 
-    def huff(cls: int, tid: int) -> dict:
-        t = htabs.get((cls, tid))
-        if t is None:  # MJPG convention: Annex-K tables implied
-            std = {(0, 0): DC_LUMA, (1, 0): AC_LUMA,
-                   (0, 1): DC_CHROMA, (1, 1): AC_CHROMA}[(cls, tid)]
-            t = htabs[(cls, tid)] = _decode_lut(*std)
-        return t
 
-    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
-    order = []  # (comp index, dc table, ac table, blocks-per-MCU, qtbl)
-    planes: list[np.ndarray] = []
-    for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
+def _huff_raw(htabs_raw: dict, cls: int, tid: int) -> tuple:
+    """(bits, vals) for a table id, falling back to the Annex-K tables
+    when the stream omitted DHT (the OpenDML MJPG convention)."""
+    t = htabs_raw.get((cls, tid))
+    if t is None:
+        t = htabs_raw[(cls, tid)] = {
+            (0, 0): DC_LUMA, (1, 0): AC_LUMA,
+            (0, 1): DC_CHROMA, (1, 1): AC_CHROMA}[(cls, tid)]
+    return t
+
+
+def _scan_layout(meta: dict):
+    """Per-component decode layout: (ci, dc_raw, ac_raw, hi, vi, qtbl)
+    in scan order plus per-component block-grid widths."""
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in meta["comps"]}
+    order = []
+    for ci, (cid, dc_id, ac_id) in enumerate(meta["scan_comps"]):
         hi, vi, tq = by_id[cid]
-        if tq not in qtabs:
+        if tq not in meta["qtabs"]:
             raise ValueError(f"missing quant table {tq}")
-        planes.append(np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32))
-        order.append((ci, huff(0, dc_id), huff(1, ac_id), hi, vi,
-                      qtabs[tq]))
+        order.append((ci, _huff_raw(meta["htabs_raw"], 0, dc_id),
+                      _huff_raw(meta["htabs_raw"], 1, ac_id), hi, vi,
+                      meta["qtabs"][tq]))
+    return order
+
+
+def _entropy_serial(meta: dict) -> list:
+    """Reference scalar entropy decoder: one Python loop over MCUs.
+    Returns per-component zigzag coefficient grids
+    (mcuy*vi, mcux*hi, 64) int32."""
+    mcux, mcuy = meta["mcux"], meta["mcuy"]
+    restart, segments = meta["restart"], meta["segments"]
+    order = _scan_layout(meta)
+    planes = [np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32)
+              for (_ci, _dc, _ac, hi, vi, _q) in order]
+    luts = [(_decode_lut(*dc_raw), _decode_lut(*ac_raw))
+            for (_ci, dc_raw, ac_raw, _hi, _vi, _q) in order]
 
     nmcu = mcux * mcuy
     seg_i = 0
     br = _BitReader(segments[0])
-    preds = [0] * len(scan_comps)
+    preds = [0] * len(order)
     for m in range(nmcu):
         if restart and m and m % restart == 0:
             seg_i += 1
             if seg_i >= len(segments):
                 raise ValueError("scan ended before all MCUs decoded")
             br = _BitReader(segments[seg_i])
-            preds = [0] * len(scan_comps)
+            preds = [0] * len(order)
         my, mx = divmod(m, mcux)
-        for ci, dc_t, ac_t, hi, vi, _q in order:
+        for (ci, _dc_raw, _ac_raw, hi, vi, _q), (dc_t, ac_t) in zip(order, luts):
             for by in range(vi):
                 for bx in range(hi):
                     size = _read_huff(br, dc_t)
@@ -634,8 +664,15 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                             raise ValueError("AC run past block end")
                         coefs[k] = _extend(br.bits(size), size)
                         k += 1
+    return planes
 
-    # Dequantize + batched IDCT per component, then upsample and crop
+
+def _reconstruct(meta: dict, planes: list) -> np.ndarray:
+    """Zigzag coefficient grids -> uint8 image: dequantize + batched
+    IDCT per component, then upsample, crop and color-convert."""
+    h, w = meta["h"], meta["w"]
+    hmax, vmax = meta["hmax"], meta["vmax"]
+    order = _scan_layout(meta)
     out_planes = []
     for (ci, _dc, _ac, hi, vi, qtbl), zz in zip(order, planes):
         bh, bwid = zz.shape[0], zz.shape[1]
@@ -658,3 +695,272 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         return ycbcr_to_rgb(ycc)
     raise NotImplementedError(
         f"{len(out_planes)}-component JPEG unsupported")
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to uint8: (H, W, 3) RGB for 3-component
+    scans, (H, W) for grayscale.  Supports SOF0/SOF1, sampling factors
+    in {1, 2}, restart markers, 8/16-bit DQT, and the MJPG missing-DHT
+    convention (Annex-K tables assumed).  Progressive / arithmetic /
+    12-bit inputs raise ``NotImplementedError``."""
+    meta = _parse_jpeg(data)
+    return _reconstruct(meta, _entropy_serial(meta))
+
+
+# --- vectorized batch decode across restart segments -----------------
+
+_LUT_NP_CACHE: dict[tuple, tuple] = {}
+
+
+def _decode_lut_np(bits: list[int], vals: list[int]) -> tuple:
+    """NumPy form of the flat 16-bit decode LUT: (symbol uint8 array,
+    code-length uint8 array, 65536 each; length 0 = invalid window)."""
+    key = (tuple(bits), tuple(vals))
+    hit = _LUT_NP_CACHE.get(key)
+    if hit is None:
+        if len(_LUT_NP_CACHE) >= 64:
+            _LUT_NP_CACHE.pop(next(iter(_LUT_NP_CACHE)))
+        sym = np.zeros(65536, dtype=np.uint8)
+        ln = np.zeros(65536, dtype=np.uint8)
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                start = code << (16 - length)
+                stop = start + (1 << (16 - length))
+                sym[start:stop] = vals[k]
+                ln[start:stop] = length
+                k += 1
+                code += 1
+            code <<= 1
+        hit = _LUT_NP_CACHE[key] = (sym, ln)
+    return hit
+
+
+def _lockstep_eligible(meta: dict) -> bool:
+    """Lockstep decodes one lane per restart segment; it needs the
+    segment count the DRI interval implies (foreign streams with odd
+    segmenting fall back to the serial loop)."""
+    r = meta["restart"]
+    if not r:
+        return False
+    nmcu = meta["mcux"] * meta["mcuy"]
+    return len(meta["segments"]) == -(-nmcu // r)
+
+
+def _entropy_lockstep(metas: list[dict]) -> list[list]:
+    """Vectorized entropy decode of MANY frames at once: one lane per
+    restart segment, all lanes stepped in lockstep with NumPy (word-
+    window bit peeks + flat-LUT gathers, same technique as
+    gorilla.decode_batch). Per step every active lane decodes exactly
+    one Huffman symbol; divergent lanes are masked. Semantically
+    identical to :func:`_entropy_serial` (DC preds reset per segment,
+    EOB/ZRL/run handling, loud errors on invalid codes or overruns).
+
+    Returns, per meta, the same per-component coefficient grids the
+    serial decoder produces."""
+    # ---- global LUT registry ----
+    lut_syms: list[np.ndarray] = []
+    lut_lens: list[np.ndarray] = []
+    lut_index: dict[int, int] = {}
+
+    def lut_id(raw: tuple) -> int:
+        sym, ln = _decode_lut_np(*raw)
+        key = id(sym)
+        if key not in lut_index:
+            lut_index[key] = len(lut_syms)
+            lut_syms.append(sym)
+            lut_lens.append(ln)
+        return lut_index[key]
+
+    # ---- per-frame geometry -> per-lane block tables ----
+    # A lane is one restart segment. All of a frame's full lanes have
+    # r*B blocks (B = blocks per MCU); the tail lane is shorter. Build
+    # the whole frame's MCU-order block arrays in one vectorized shot,
+    # then slice lanes out of them.
+    lane_rows: list[tuple] = []   # (dest, dc, ac, ci) 1-D arrays per lane
+    lane_segs: list[bytes] = []
+    frame_plane_meta: list[list] = []
+    total_blocks = 0
+    max_ncomp = 1
+    for meta in metas:
+        mcux, mcuy, r = meta["mcux"], meta["mcuy"], meta["restart"]
+        nmcu = mcux * mcuy
+        order = _scan_layout(meta)
+        max_ncomp = max(max_ncomp, len(order))
+        bases = []
+        pat = {k: [] for k in ("ci", "dc", "ac", "by", "bx",
+                               "hi", "vi", "bw", "base")}
+        for (ci, dc_raw, ac_raw, hi, vi, _q) in order:
+            bw_i = mcux * hi
+            bases.append((total_blocks, mcuy * vi, bw_i))
+            d_id, a_id = lut_id(dc_raw), lut_id(ac_raw)
+            for by in range(vi):
+                for bx in range(hi):
+                    for k, v in (("ci", ci), ("dc", d_id), ("ac", a_id),
+                                 ("by", by), ("bx", bx), ("hi", hi),
+                                 ("vi", vi), ("bw", bw_i),
+                                 ("base", total_blocks)):
+                        pat[k].append(v)
+            total_blocks += (mcuy * vi) * bw_i
+        frame_plane_meta.append(bases)
+        p = {k: np.asarray(v, dtype=np.int64) for k, v in pat.items()}
+        B = len(p["ci"])
+        ms = np.arange(nmcu, dtype=np.int64)
+        my, mx = ms // mcux, ms % mcux
+        dest_all = (p["base"][None, :]
+                    + (my[:, None] * p["vi"][None, :] + p["by"][None, :])
+                    * p["bw"][None, :]
+                    + mx[:, None] * p["hi"][None, :]
+                    + p["bx"][None, :]).reshape(-1)
+        dc_all = np.tile(p["dc"], nmcu)
+        ac_all = np.tile(p["ac"], nmcu)
+        ci_all = np.tile(p["ci"], nmcu)
+        for s_i, seg in enumerate(meta["segments"]):
+            a = s_i * r * B
+            b = min((s_i + 1) * r, nmcu) * B
+            lane_rows.append((dest_all[a:b], dc_all[a:b],
+                              ac_all[a:b], ci_all[a:b]))
+            lane_segs.append(seg)
+
+    n_lanes = len(lane_segs)
+    maxbytes = max((len(s) for s in lane_segs), default=0)
+    nwords = maxbytes // 8 + 2
+    buf = np.zeros((n_lanes, nwords * 8), dtype=np.uint8)
+    for i, s in enumerate(lane_segs):
+        buf[i, :len(s)] = np.frombuffer(s, dtype=np.uint8)
+    words = buf.view(">u8").astype(np.uint64)
+
+    nblk = np.array([len(t[0]) for t in lane_rows], dtype=np.int64)
+    maxblocks = int(nblk.max()) if n_lanes else 0
+    # +1 pad column: finished lanes keep bptr == nblk and may be
+    # indexed harmlessly by the full-array masked stepping below
+    dest_t = np.zeros((n_lanes, maxblocks + 1), dtype=np.int64)
+    dc_t = np.zeros((n_lanes, maxblocks + 1), dtype=np.int64)
+    ac_t = np.zeros((n_lanes, maxblocks + 1), dtype=np.int64)
+    ci_t = np.zeros((n_lanes, maxblocks + 1), dtype=np.int64)
+    for i, (d, dc, acc, ci) in enumerate(lane_rows):
+        j = len(d)
+        dest_t[i, :j] = d
+        dc_t[i, :j] = dc
+        ac_t[i, :j] = acc
+        ci_t[i, :j] = ci
+
+    # packed LUT: sym << 8 | code_length, one gather per step
+    packed_luts = [(s.astype(np.int64) << 8) | l.astype(np.int64)
+                   for s, l in zip(lut_syms, lut_lens)]
+    lut_tab = (np.stack(packed_luts) if packed_luts
+               else np.zeros((1, 65536), np.int64))
+
+    coef = np.zeros((max(total_blocks, 1), 64), dtype=np.int32)
+    cur = np.zeros(n_lanes, dtype=np.int64)
+    nbits = np.asarray([len(s) * 8 for s in lane_segs], dtype=np.int64)
+    bptr = np.zeros(n_lanes, dtype=np.int64)
+    kpos = np.zeros(n_lanes, dtype=np.int64)   # 0 = DC phase
+    preds = np.zeros((n_lanes, max_ncomp), dtype=np.int64)
+    active = bptr < nblk
+    lanes = np.arange(n_lanes)
+    u64, u48, u63 = np.uint64(64), np.uint64(48), np.uint64(63)
+    one = np.int64(1)
+
+    # Full-array lockstep: every step runs over ALL lanes (masked
+    # writes) — no per-step nonzero/gather/scatter index juggling;
+    # inactive lanes read their pad column and are masked out.
+    while active.any():
+        c = cur
+        w_i = c >> 6
+        o = (c.astype(np.uint64) & u63)
+        hi_w = words[lanes, w_i]
+        lo_w = words[lanes, w_i + 1]
+        win = np.where(o == 0, hi_w, (hi_w << o) | (lo_w >> (u64 - o)))
+        peek16 = (win >> u48).astype(np.int64)
+
+        isdc = active & (kpos == 0)
+        tbl = np.where(isdc, dc_t[lanes, bptr], ac_t[lanes, bptr])
+        ent = lut_tab[tbl, peek16]
+        sym = ent >> 8
+        ln = ent & 0xFF
+        if not (ln[active]).all():
+            raise ValueError("invalid Huffman code in scan")
+
+        size = np.where(isdc, sym, sym & 15)
+        run = sym >> 4
+        # value bits immediately follow the code: take them from the
+        # same 64-bit window (code <= 16 bits + value <= 16 bits)
+        has_v = size > 0
+        after = win << ln.astype(np.uint64)
+        szu = np.maximum(size, 1).astype(np.uint64)
+        val_raw = np.where(has_v,
+                           (after >> (u64 - szu)).astype(np.int64), 0)
+        # _extend: v < 2^(size-1) -> v - 2^size + 1
+        neg = has_v & (val_raw < (one << np.maximum(size - 1, 0)))
+        val = np.where(neg, val_raw - (one << size) + 1, val_raw)
+
+        cur = np.where(active, c + ln + size, c)
+        if (cur > nbits)[active].any():
+            raise IndexError("bit read past end of entropy segment")
+
+        dst = dest_t[lanes, bptr]
+        # ---- DC phase ----
+        if isdc.any():
+            di = lanes[isdc]
+            cid = ci_t[di, bptr[isdc]]
+            pnew = preds[di, cid] + val[isdc]
+            preds[di, cid] = pnew
+            coef[dst[isdc], 0] = pnew
+        # ---- AC phase ----
+        ac = active & ~isdc
+        eob = ac & (sym == 0)
+        zrl = ac & (sym == 0xF0)
+        if (ac & (size == 0) & ~eob & ~zrl).any():
+            bad = sym[ac & (size == 0) & ~eob & ~zrl][0]
+            raise ValueError(f"bad AC symbol {int(bad):#x}")
+        coefm = ac & has_v
+        knew = kpos + run
+        if coefm.any():
+            if (knew[coefm] > 63).any():
+                raise ValueError("AC run past block end")
+            coef[dst[coefm], knew[coefm]] = val[coefm]
+        # next k per lane: DC -> 1; ZRL -> k+16; EOB -> done; coef -> knew+1
+        knext = np.where(isdc, one,
+                         np.where(zrl, kpos + 16,
+                                  np.where(eob, np.int64(64), knew + 1)))
+        done = ac & (eob | (knext >= 64))
+        kpos = np.where(active, np.where(done, 0, knext), kpos)
+        bptr = bptr + done
+        active = bptr < nblk
+
+    # ---- split the flat coefficient buffer back into per-frame grids
+    out: list[list] = []
+    for meta, bases in zip(metas, frame_plane_meta):
+        planes = []
+        for base, bh, bw_i in bases:
+            planes.append(coef[base:base + bh * bw_i]
+                          .reshape(bh, bw_i, 64).astype(np.int32))
+        out.append(planes)
+    return out
+
+
+def jpeg_decode_batch(datas: list[bytes]) -> list[np.ndarray]:
+    """Decode MANY baseline JPEGs (e.g. the frames of one MJPG AVI) in
+    one vectorized pass: every restart segment of every frame becomes a
+    lane of :func:`_entropy_lockstep`, so the per-symbol Python-loop
+    cost of the serial decoder is amortized across all frames (the
+    engine's own MJPG writer emits restart_interval=1 precisely to
+    expose this parallelism). Frames that are not lockstep-eligible
+    (no/odd restart segmenting) fall back to the serial path — output
+    is bit-identical either way. Reconstruction (IDCT/upsample/color)
+    stays per-frame: it is already one NumPy pass per component, and a
+    cross-frame batch measurably LOST to cache effects."""
+    metas = [_parse_jpeg(d) for d in datas]
+    out: list = [None] * len(datas)
+    batch_ids = [i for i, m in enumerate(metas) if _lockstep_eligible(m)]
+    planes_by_id: dict[int, list] = {}
+    if len(batch_ids) >= 2:
+        planes_list = _entropy_lockstep([metas[i] for i in batch_ids])
+        planes_by_id = dict(zip(batch_ids, planes_list))
+    for i, meta in enumerate(metas):
+        planes = planes_by_id.get(i)
+        if planes is None:
+            planes = _entropy_serial(meta)
+        out[i] = _reconstruct(meta, planes)
+    return out

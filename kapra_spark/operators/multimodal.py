@@ -233,7 +233,7 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def avi_encode(frames: np.ndarray, fps: int = 10, codec: str = "DIB",
-               quality: int = 85) -> bytes:
+               quality: int = 85, restart_interval: int = 1) -> bytes:
     """RIFF/AVI writer (pure ``struct``): one 'vids' stream + an idx1
     index. The AVI/RIFF container and BITMAPINFOHEADER layouts are the
     public Microsoft/OpenDML spec. ``frames`` is uint8 (n, h, w, 3) RGB.
@@ -264,9 +264,15 @@ def avi_encode(frames: np.ndarray, fps: int = 10, codec: str = "DIB",
     if codec == "MJPG":
         from kapra_spark.functions.jpeg import jpeg_encode
         for i in range(n):
+            # default restart_interval=1 (one MCU per entropy
+            # segment): a few bytes of marker overhead per MCU buys
+            # segment-level parallel decode — jpeg_decode_batch turns
+            # every segment of every frame into a vectorized lockstep
+            # lane; pass restart_interval=0 for the legacy unsegmented
+            # layout
             frame_bytes.append(jpeg_encode(
                 fr[i], quality=quality, subsample="420",
-                include_dht=False))
+                include_dht=False, restart_interval=restart_interval))
     else:
         for i in range(n):
             # bottom-up rows, BGR channel order, stride-padded
@@ -354,10 +360,13 @@ def avi_decode(payload: bytes) -> tuple[np.ndarray, float]:
         raise NotImplementedError("no decodable 'vids' stream found")
     fps = rate / max(1, scale)
     if compression == _MJPG_FOURCC:
-        from kapra_spark.functions.jpeg import jpeg_decode
+        from kapra_spark.functions.jpeg import jpeg_decode_batch
         decoded = []
-        for i, fb in enumerate(frames_raw):
-            img = jpeg_decode(bytes(fb))
+        # batch decode: all frames' restart segments become lanes of
+        # one vectorized lockstep pass (serial fallback per frame when
+        # a stream carries no restart segmenting)
+        for i, img in enumerate(jpeg_decode_batch(
+                [bytes(fb) for fb in frames_raw])):
             if img.ndim == 2:                  # grayscale MJPG frame
                 img = np.repeat(img[:, :, None], 3, axis=2)
             if img.shape[0] != abs(h) or img.shape[1] != w:
@@ -478,7 +487,13 @@ def synthetic_media_df(spark: SparkSession, n: int = 24,
             h, w = int(rng.integers(6, 16)), int(rng.integers(6, 17))
             fps = int(rng.integers(5, 30))
             fr = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
-            payload = avi_encode(fr, fps=fps, codec=video_codec)
+            # restart_interval=0: keep the LEGACY unsegmented MJPG
+            # layout here — the media_features_mjpg oracle digest pins
+            # n_bytes of these exact payloads (r5 fingerprint); the
+            # restart-segmented fast-decode layout is the avi_encode
+            # default for new data
+            payload = avi_encode(fr, fps=fps, codec=video_codec,
+                                 restart_interval=0)
             rows.append((f"m{i:06d}", kind, "video/x-msvideo", w, h,
                          int(nf / fps * 1000), payload))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -10,11 +10,15 @@ tier derives from the previous one, never from raw data.
 
 Scale design (the part that matters at 10^12 sequences):
 
-- ONE shuffle for the whole cascade: ``repartition(source, doc_id)``
-  up front; every later groupBy key set (source, doc_id, bucket) is a
-  superset of the partitioning, and the LOCF window partitions by the
-  same keys, so Catalyst inserts no further Exchange (verified by
-  tests/test_rollup.py::test_single_shuffle_plan).
+- ZERO shuffles for the tokens cascade (r6): each input row carries its
+  whole series, so every tier is computed array-locally in a narrow
+  ``mapInArrow`` pass — no explode, no window sort, no per-point hash
+  aggregate (tests/test_rollup.py::test_cascade_zero_shuffle_plan).
+  The declarative long-form plan survives as
+  :func:`cascade_declarative` (exactly ONE shuffle: the upfront
+  ``repartition(source, doc_id)`` that the LOCF window and every tier
+  groupBy reuse — ::test_single_shuffle_plan); it is the independent
+  implementation backing the parity certificates.
 - The tokens fast path never explodes to long form at all: one
   ``mapInArrow`` pass reshapes each Arrow batch in NumPy and emits
   per-tier buckets directly — zero shuffles, linear scan, exact
@@ -254,7 +258,7 @@ def _tier_from_tokens(tokens_df: DataFrame, tier: str) -> DataFrame:
             flat = col.values.to_numpy(zero_copy_only=False)
             for nt in np.unique(n_tok):
                 idx = np.nonzero(n_tok == nt)[0]
-                vals = rows_matrix(flat, offsets, idx, int(nt))
+                vals = rows_matrix(flat, offsets, idx, int(nt), dtype=None)
                 filled, fmask = _locf_2d(vals)
                 rr, bb, cnt, s, mn, mx, first, last, nfil = _tier_reduce(
                     filled, fmask, mins)
@@ -317,24 +321,26 @@ _FAST_SCHEMA = T.StructType([
 
 
 def rows_matrix(flat: np.ndarray, offsets: np.ndarray, idx: np.ndarray,
-                nt: int) -> np.ndarray:
+                nt: int, dtype=np.int64) -> np.ndarray:
     """Gather rows ``idx`` (each ``nt`` long) from a ListArray's flat
-    values into an int64 (len(idx), nt) matrix. When the selected rows
-    are contiguous and uniformly strided (the common one-n_tok-per-
-    batch case) this is a zero-copy reshape — a VIEW of the Arrow
-    buffer when the values are already int64 — instead of a
-    fancy-index gather (~7x less memory traffic, now zero)."""
+    values into a (len(idx), nt) matrix of ``dtype`` (``None`` keeps
+    the native element type — the LOCF/tier kernels consume int32
+    directly, skipping a full-matrix widening copy; Gorilla needs
+    int64 for sign-extended XOR). When the selected rows are contiguous
+    and uniformly strided (the common one-n_tok-per-batch case) this is
+    a zero-copy reshape — a VIEW of the Arrow buffer when no widening
+    is needed — instead of a fancy-index gather (~7x less memory
+    traffic, now zero)."""
     starts = offsets[idx]
     if len(starts) > 0 and np.all(np.diff(starts) == nt):
         base = int(starts[0])
-        # copy=False: when the ListArray's flat values are already
-        # int64 (the tokens schema) this is a true zero-copy VIEW of
-        # the Arrow buffer — downstream consumers (_locf_2d,
+        # copy=False: a true zero-copy VIEW of the Arrow buffer when
+        # the dtype already matches — downstream consumers (_locf_2d,
         # encode_batch) only read, never mutate
-        return flat[base:base + len(starts) * nt].reshape(
-            len(starts), nt).astype(np.int64, copy=False)
-    return flat[starts[:, None] + np.arange(nt)[None, :]].astype(
-        np.int64, copy=False)
+        m = flat[base:base + len(starts) * nt].reshape(len(starts), nt)
+    else:
+        m = flat[starts[:, None] + np.arange(nt)[None, :]]
+    return m if dtype is None else m.astype(dtype, copy=False)
 
 
 def _locf_2d(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -452,7 +458,7 @@ def cascade_fast(tokens_df: DataFrame,
             flat = col.values.to_numpy(zero_copy_only=False)
             for nt in np.unique(n_tok):
                 idx = np.nonzero(n_tok == nt)[0]
-                vals = rows_matrix(flat, offsets, idx, int(nt))
+                vals = rows_matrix(flat, offsets, idx, int(nt), dtype=None)
                 filled, fmask = _locf_2d(vals)
                 for tier in tiers:
                     mins = TIERS[tier]

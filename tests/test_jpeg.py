@@ -171,3 +171,42 @@ def test_avi_unknown_codec_still_raises():
     blob[idx:idx + 4] = b"H264"
     with pytest.raises(NotImplementedError):
         avi_decode(bytes(blob))
+
+
+# --- r6 vectorized batch decode --------------------------------------
+
+def test_batch_decode_equals_serial():
+    """jpeg_decode_batch (lockstep across restart segments) must be
+    bit-identical to the serial per-frame decoder on gradients, noise,
+    grayscale, mixed geometries, and no-restart fallback frames."""
+    from kapra_spark.functions.jpeg import (_entropy_serial, _parse_jpeg,
+                                            _reconstruct, jpeg_decode_batch)
+
+    rng = np.random.default_rng(21)
+    blobs = []
+    for t in range(3):
+        blobs.append(jpeg_encode(_gradient(36, 52, phase=t * 13),
+                                 quality=88, subsample="420",
+                                 restart_interval=1, include_dht=False))
+    blobs.append(jpeg_encode(
+        rng.integers(0, 256, (23, 37, 3), dtype=np.uint8),
+        quality=55, subsample="420", restart_interval=2))
+    blobs.append(jpeg_encode(_gradient(33, 29)[:, :, 0], quality=92,
+                             restart_interval=1))
+    blobs.append(jpeg_encode(_gradient(20, 20), quality=70))  # no restart
+    serial = [_reconstruct(_parse_jpeg(b), _entropy_serial(_parse_jpeg(b)))
+              for b in blobs]
+    batch = jpeg_decode_batch(blobs)
+    for a, b in zip(serial, batch):
+        assert np.array_equal(a, b)
+
+
+def test_avi_mjpg_frames_carry_restart_segments():
+    """The engine's MJPG writer emits restart_interval=1 so batch
+    decode gets one lockstep lane per MCU."""
+    from kapra_spark.operators.multimodal import avi_encode
+
+    frames = np.stack([_gradient(32, 48, phase=t) for t in range(2)])
+    blob = avi_encode(frames, fps=10, codec="MJPG", quality=85)
+    assert b"\xFF\xDD" in blob                     # DRI marker present
+    assert any(bytes([0xFF, 0xD0 + i]) in blob for i in range(8))
