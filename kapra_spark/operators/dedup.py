@@ -567,13 +567,24 @@ def jaccard_ngram_join(df: DataFrame, text_col: str = "text",
         .cast("int")
     prefix = ordered.select(
         "doc_id", "sz",
-        F.explode(F.slice("toks", F.lit(1), plen)).alias("tok"))
+        F.posexplode(F.slice("toks", F.lit(1), plen)).alias("pos", "tok"))
     a, b = prefix.alias("a"), prefix.alias("b")
     t = F.lit(threshold)
+    # PPJoin position filter (Xiao et al. WWW'08): with 0-based token
+    # positions pa/pb in the rare-first order, the overlap of the two
+    # full token sets is at most min(sz_a - pa, sz_b - pb); jaccard >=
+    # t needs overlap >= ceil(t/(1+t) * (sz_a + sz_b)). The FIRST
+    # common token of any qualifying pair sits in both prefixes and
+    # passes this bound, so pruning instances that fail it is exact
+    # (1e-9 slack: never over-prune on float rounding of the ceil).
+    alpha = F.ceil((F.col("a.sz") + F.col("b.sz"))
+                   * F.lit(threshold / (1.0 + threshold)) - F.lit(1e-9))
     cand = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
                    & (F.col("a.doc_id") < F.col("b.doc_id"))
                    & (F.least("a.sz", "b.sz")
-                      >= F.ceil(F.greatest("a.sz", "b.sz") * t)))
+                      >= F.ceil(F.greatest("a.sz", "b.sz") * t))
+                   & (F.least(F.col("a.sz") - F.col("a.pos"),
+                              F.col("b.sz") - F.col("b.pos")) >= alpha))
             .select(F.col("a.doc_id").alias("id_a"),
                     F.col("b.doc_id").alias("id_b"))
             .distinct())
