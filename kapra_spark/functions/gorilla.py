@@ -125,6 +125,10 @@ def encode_batch_arrow(ts2d: np.ndarray, vals2d: np.ndarray,
         t0s.append(a)
         v0s.append(b)
         ns.append(c)
+        if int(off[-1]) >= 2 ** 31:
+            raise ValueError(
+                f"encode_batch_arrow: chunk payload {int(off[-1])} bytes "
+                f"overflows 32-bit Arrow binary offsets — lower chunk_rows")
         arrays.append(pa.Array.from_buffers(
             pa.binary(), len(c),
             [None, pa.py_buffer(np.ascontiguousarray(

@@ -883,6 +883,11 @@ def _entropy_lockstep(metas: list[dict]) -> list[list]:
             raise ValueError("invalid Huffman code in scan")
 
         size = np.where(isdc, sym, sym & 15)
+        if (size > 16).any():
+            # mirror the serial reader, which raises on DC size
+            # categories > 16 (crafted Huffman tables) instead of
+            # wrapping the uint64 shifts below
+            raise ValueError("invalid DC size symbol in scan")
         run = sym >> 4
         # value bits immediately follow the code: take them from the
         # same 64-bit window (code <= 16 bits + value <= 16 bits)

@@ -89,7 +89,6 @@ def compress_tokens(tokens_df: DataFrame, tier: str = "1m") -> DataFrame:
             for nt in np.unique(n_tok):
                 idx = np.nonzero(n_tok == nt)[0]
                 vals = rows_matrix(flat, offsets, idx, int(nt))
-                pos0 = 0
                 day_pts = 1440
                 for s in range(0, int(nt), day_pts):
                     e = min(s + day_pts, int(nt))
@@ -107,13 +106,10 @@ def compress_tokens(tokens_df: DataFrame, tier: str = "1m") -> DataFrame:
             take = pa.array(np.concatenate(out_cols["take"]), type=pa.int64())
             pay = (out_cols["payload"][0] if len(out_cols["payload"]) == 1
                    else pa.concat_arrays(out_cols["payload"]))
-            tier_col = pa.DictionaryArray.from_arrays(
-                pa.array(np.zeros(len(take), dtype=np.int32)),
-                pa.array(["1m"])).cast(pa.string())
             yield pa.RecordBatch.from_arrays([
                 c_doc.take(take),
                 c_src.take(take),
-                tier_col,
+                _const_str("1m", len(take)),
                 pa.array(np.concatenate(out_cols["bucket_day"]), type=pa.date32()),
                 pa.array(np.concatenate(out_cols["t0"]), type=pa.int64()),
                 pa.array(np.concatenate(out_cols["v0"]), type=pa.int64()),

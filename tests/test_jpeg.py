@@ -210,3 +210,21 @@ def test_avi_mjpg_frames_carry_restart_segments():
     blob = avi_encode(frames, fps=10, codec="MJPG", quality=85)
     assert b"\xFF\xDD" in blob                     # DRI marker present
     assert any(bytes([0xFF, 0xD0 + i]) in blob for i in range(8))
+
+
+def test_crafted_dc_table_raises_in_both_paths():
+    """A hostile DHT whose DC value byte exceeds the legal size-category
+    range must raise in BOTH the serial and the lockstep batch decoder
+    (no silent uint64 shift wraparound)."""
+    from kapra_spark.functions.jpeg import jpeg_decode_batch
+
+    img = np.full((32, 32, 3), 128, dtype=np.uint8)
+    blob = bytearray(jpeg_encode(img, quality=85, subsample="420",
+                                 restart_interval=1))
+    i = blob.find(b"\xFF\xC4")
+    assert blob[i + 21] == 0          # first DC_LUMA value (category 0)
+    blob[i + 21] = 200                # crafted: category 200
+    with pytest.raises((ValueError, IndexError)):
+        jpeg_decode(bytes(blob))
+    with pytest.raises((ValueError, IndexError)):
+        jpeg_decode_batch([bytes(blob), bytes(blob)])
